@@ -1,0 +1,133 @@
+"""Raw YUV 4:2:0 planar video I/O and synthetic sequence generation.
+
+The reference streams raw 8-bit YUV420 frames through per-stage flat files
+(``texture.cpp:122-144``; name convention ``name_WxHxFPSx420xFRAMES``,
+``trunk/tests/MCJ2K-compress-expand.sh:17-23``).  Here a sequence is a pytree
+of three numpy/JAX arrays — Y (N,H,W) and U,V (N,H/2,W/2) — read/written in
+one pass; everything after the read happens on device.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import re
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+import numpy as np
+
+_NAME_RE = re.compile(r"(\d+)x(\d+)x(\d+)x420x(\d+)")
+
+
+@dataclass
+class Video:
+    """A YUV 4:2:0 sequence. ``y``: (N,H,W) uint8; ``u``,``v``: (N,H/2,W/2)."""
+    y: np.ndarray
+    u: np.ndarray
+    v: np.ndarray
+
+    @property
+    def frames(self) -> int:
+        return self.y.shape[0]
+
+    @property
+    def height(self) -> int:
+        return self.y.shape[1]
+
+    @property
+    def width(self) -> int:
+        return self.y.shape[2]
+
+    def __getitem__(self, sl) -> "Video":
+        return Video(self.y[sl], self.u[sl], self.v[sl])
+
+    def planes(self):
+        return (self.y, self.u, self.v)
+
+
+def parse_geometry(filename: str) -> Optional[Tuple[int, int, int, int]]:
+    """Parse W, H, FPS, frames from the reference naming convention."""
+    m = _NAME_RE.search(os.path.basename(filename))
+    if not m:
+        return None
+    w, h, fps, n = map(int, m.groups())
+    return w, h, fps, n
+
+
+def read_yuv(path: str, width: int, height: int,
+             frames: Optional[int] = None) -> Video:
+    frame_bytes = width * height * 3 // 2
+    size = os.path.getsize(path)
+    total = size // frame_bytes
+    n = total if frames is None else min(frames, total)
+    data = np.fromfile(path, dtype=np.uint8, count=n * frame_bytes)
+    data = data.reshape(n, frame_bytes)
+    ysz = width * height
+    csz = ysz // 4
+    y = data[:, :ysz].reshape(n, height, width)
+    u = data[:, ysz:ysz + csz].reshape(n, height // 2, width // 2)
+    v = data[:, ysz + csz:].reshape(n, height // 2, width // 2)
+    return Video(y.copy(), u.copy(), v.copy())
+
+
+def write_yuv(path: str, video: Video) -> None:
+    n = video.frames
+    with open(path, "wb") as f:
+        for i in range(n):
+            f.write(np.ascontiguousarray(video.y[i], dtype=np.uint8).tobytes())
+            f.write(np.ascontiguousarray(video.u[i], dtype=np.uint8).tobytes())
+            f.write(np.ascontiguousarray(video.v[i], dtype=np.uint8).tobytes())
+
+
+def synthetic_video(frames: int, height: int, width: int,
+                    seed: int = 0, kind: str = "moving") -> Video:
+    """Deterministic synthetic test sequences.
+
+    ``moving``: textured background with translating blobs (exercises ME);
+    ``random``: the reference's urandom calibration trick
+    (``tests/Control_BR_slopes/5/urandom``); ``gradient``: smooth ramps.
+    """
+    rng = np.random.default_rng(seed)
+    H2, W2 = height // 2, width // 2
+    if kind == "random":
+        return Video(
+            rng.integers(0, 256, (frames, height, width), dtype=np.uint8),
+            rng.integers(0, 256, (frames, H2, W2), dtype=np.uint8),
+            rng.integers(0, 256, (frames, H2, W2), dtype=np.uint8))
+    yy, xx = np.mgrid[0:height, 0:width]
+    base = (64 + 32 * np.sin(xx / 7.0) + 32 * np.sin(yy / 5.0)
+            + 16 * np.sin((xx + yy) / 11.0))
+    noise = rng.normal(0, 4, (height, width))
+    y_frames = np.zeros((frames, height, width), np.uint8)
+    u_frames = np.zeros((frames, H2, W2), np.uint8)
+    v_frames = np.zeros((frames, H2, W2), np.uint8)
+    cy, cx = np.mgrid[0:H2, 0:W2]
+    for t in range(frames):
+        if kind == "gradient":
+            img = base + 2.0 * t
+        else:
+            dx, dy = int(round(2.1 * t)), int(round(1.3 * t))
+            img = np.roll(np.roll(base, dy, axis=0), dx, axis=1) + noise
+            # a bright moving square
+            sy, sx = (11 + 3 * t) % (height - 16), (17 + 5 * t) % (width - 16)
+            img[sy:sy + 16, sx:sx + 16] += 80
+        y_frames[t] = np.clip(img, 0, 255).astype(np.uint8)
+        u_frames[t] = np.clip(120 + 20 * np.sin((cx + 2 * t) / 9.0), 0, 255
+                              ).astype(np.uint8)
+        v_frames[t] = np.clip(130 + 20 * np.cos((cy + t) / 8.0), 0, 255
+                              ).astype(np.uint8)
+    return Video(y_frames, u_frames, v_frames)
+
+
+def psnr(a: np.ndarray, b: np.ndarray, peak: float = 255.0) -> float:
+    """PSNR in dB (reference delegates to the external ``snr`` tool,
+    psnr.py:79-81)."""
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    if mse == 0:
+        return float("inf")
+    return float(10.0 * np.log10(peak * peak / mse))
+
+
+def video_psnr(a: Video, b: Video) -> Tuple[float, float, float]:
+    return (psnr(a.y, b.y), psnr(a.u, b.u), psnr(a.v, b.v))

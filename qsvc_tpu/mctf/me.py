@@ -1,0 +1,210 @@
+"""Hierarchical bidirectional block-matching motion estimation.
+
+Re-creates ``trunk/src/motion_estimate.cpp`` (FAST_SEARCH path) TPU-first:
+
+* a 5/3 packed DWT pyramid of depth ``round(log2(search_range)) - 1`` over
+  predicted and both reference lumas (``motion_estimate.cpp:277-285``);
+* at each level, every block refines its two vectors (PREV, NEXT) over the
+  9-point spiral; probes are applied **anti-symmetrically** (PREV gets +d,
+  NEXT gets -d, ``motion_estimate.cpp:89-91``) and ties keep the *later*
+  probe in spiral order, so (0,0) wins ties (``<=`` update,
+  ``motion_estimate.cpp:111-122``);
+* between levels the motion field is duplicated 2x2 to the finer block grid
+  (the reference does this as a packed Haar synthesis with implicit zero
+  high bands, ``motion_estimate.cpp:314-317`` — exactly nearest-neighbour
+  duplication), scaled by 2 and clamped to ``±search_range``
+  (``motion_estimate.cpp:321-348``);
+* optional sub-pixel refinement on 5/3-interpolated frames
+  (``motion_estimate.cpp:361-407``).
+
+Vectorization: instead of per-block scalar loops, each level performs ONE
+gather per direction of per-block ``(win+2) x (win+2)`` reference patches at
+the current vectors; the 9 spiral probes are then static slices of the
+patches and the SADs are batched reductions — MXU/VPU-friendly, no
+data-dependent control flow.  Out-of-range reads clamp to the edge of the
+active LL band (the reference reads stale border/high-band texels there —
+deliberately not replicated; motion fields need no bit parity, they are
+transmitted).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import dwt2d
+
+# spiral order: later probes win ties; (0,0) last (motion_estimate.cpp:124-174)
+SPIRAL = ((-1, -1), (-1, 1), (1, -1), (1, 1),
+          (-1, 0), (1, 0), (0, 1), (0, -1), (0, 0))
+
+
+def _ceil_half(x: int, times: int) -> int:
+    for _ in range(times):
+        x = (x + 1) // 2
+    return x
+
+
+def _gather_patches(img: jnp.ndarray, mv_y: jnp.ndarray, mv_x: jnp.ndarray,
+                    block_size: int, border: int, ny: int, nx: int
+                    ) -> jnp.ndarray:
+    """Per-block patches of ``img`` shifted by per-block vectors.
+
+    Returns (By, Bx, win+2, win+2) where win = block_size + 2*border; the +2
+    margin covers the ±1 spiral.  Indices clamp to [0, ny/nx).
+    """
+    By, Bx = mv_y.shape
+    win = block_size + 2 * border + 2
+    by = jnp.arange(By, dtype=jnp.int32)[:, None, None, None] * block_size
+    bx = jnp.arange(Bx, dtype=jnp.int32)[None, :, None, None] * block_size
+    wy = jnp.arange(win, dtype=jnp.int32)[None, None, :, None] - border - 1
+    wx = jnp.arange(win, dtype=jnp.int32)[None, None, None, :] - border - 1
+    iy = jnp.clip(by + wy + mv_y[:, :, None, None], 0, ny - 1)
+    ix = jnp.clip(bx + wx + mv_x[:, :, None, None], 0, nx - 1)
+    return img[iy, ix]
+
+
+def _pred_windows(img: jnp.ndarray, block_size: int, border: int,
+                  By: int, Bx: int, ny: int, nx: int) -> jnp.ndarray:
+    """(By, Bx, win, win) windows of the predicted frame around each block."""
+    win = block_size + 2 * border
+    by = jnp.arange(By, dtype=jnp.int32)[:, None, None, None] * block_size
+    bx = jnp.arange(Bx, dtype=jnp.int32)[None, :, None, None] * block_size
+    wy = jnp.arange(win, dtype=jnp.int32)[None, None, :, None] - border
+    wx = jnp.arange(win, dtype=jnp.int32)[None, None, None, :] - border
+    iy = jnp.clip(by + wy, 0, ny - 1)
+    ix = jnp.clip(bx + wx, 0, nx - 1)
+    return img[iy, ix]
+
+
+def _refine_level(pred: jnp.ndarray, ref_prev: jnp.ndarray,
+                  ref_next: jnp.ndarray, mv: jnp.ndarray,
+                  block_size: int, border: int, ny: int, nx: int
+                  ) -> jnp.ndarray:
+    """One ±1 spiral refinement of all blocks (local_me_for_image,
+    motion_estimate.cpp:196-225).
+
+    ``mv``: (2 dirs, 2 comps(y,x), By, Bx) int32.  Returns updated mv.
+    """
+    By, Bx = mv.shape[2], mv.shape[3]
+    win = block_size + 2 * border
+    predw = _pred_windows(pred, block_size, border, By, Bx, ny, nx)
+    patches_p = _gather_patches(ref_prev, mv[0, 0], mv[0, 1],
+                                block_size, border, ny, nx)
+    patches_n = _gather_patches(ref_next, mv[1, 0], mv[1, 1],
+                                block_size, border, ny, nx)
+
+    neg = jnp.iinfo(jnp.int32).max
+    best_err_p = jnp.full((By, Bx), neg, dtype=jnp.int32)
+    best_err_n = jnp.full((By, Bx), neg, dtype=jnp.int32)
+    best_d_p = jnp.zeros((2, By, Bx), dtype=jnp.int32)
+    best_d_n = jnp.zeros((2, By, Bx), dtype=jnp.int32)
+
+    for dy, dx in SPIRAL:
+        # PREV probes at +d, NEXT at -d (COMPUTE_ERRORS,
+        # motion_estimate.cpp:89-101)
+        sl_p = patches_p[:, :, 1 + dy:1 + dy + win, 1 + dx:1 + dx + win]
+        sl_n = patches_n[:, :, 1 - dy:1 - dy + win, 1 - dx:1 - dx + win]
+        err_p = jnp.sum(jnp.abs(predw - sl_p), axis=(2, 3))
+        err_n = jnp.sum(jnp.abs(predw - sl_n), axis=(2, 3))
+        take_p = err_p <= best_err_p           # later probe wins ties
+        take_n = err_n <= best_err_n
+        best_err_p = jnp.where(take_p, err_p, best_err_p)
+        best_err_n = jnp.where(take_n, err_n, best_err_n)
+        d = jnp.asarray([dy, dx], dtype=jnp.int32)[:, None, None]
+        best_d_p = jnp.where(take_p[None], d, best_d_p)
+        best_d_n = jnp.where(take_n[None], -d, best_d_n)
+
+    mv = mv.at[0].add(best_d_p)
+    mv = mv.at[1].add(best_d_n)
+    return mv
+
+
+def _upsample_mv(mv: jnp.ndarray, by_c: int, bx_c: int,
+                 by_f: int, bx_f: int) -> jnp.ndarray:
+    """Duplicate the coarse (by_c, bx_c) field 2x2 onto the finer grid
+    (packed-Haar-with-zero-highs semantics, motion_estimate.cpp:314-317)."""
+    coarse = mv[:, :, :by_c, :bx_c]
+    up = jnp.repeat(jnp.repeat(coarse, 2, axis=2), 2, axis=3)
+    up = up[:, :, :by_f, :bx_f]
+    return mv.at[:, :, :by_f, :bx_f].set(up)
+
+
+def estimate_pair(pred: jnp.ndarray, ref_prev: jnp.ndarray,
+                  ref_next: jnp.ndarray, block_size: int,
+                  search_range: int, border_size: int = 0,
+                  subpixel_accuracy: int = 0) -> jnp.ndarray:
+    """Motion field for one (even, odd, even) triple; lumas (H, W) int32.
+
+    Returns mv of shape (2, 2, By, Bx): [PREV|NEXT][y|x][by][bx], such that
+    ``ref[ y + mv_y, x + mv_x ]`` predicts ``pred[y, x]``.
+    """
+    H, W = pred.shape
+    By, Bx = H // block_size, W // block_size
+    dwt_levels = max(int(round(math.log2(search_range))) - 1, 0)
+
+    pyr_pred = dwt2d.analyze(pred, dwt_levels)
+    pyr_prev = dwt2d.analyze(ref_prev, dwt_levels)
+    pyr_next = dwt2d.analyze(ref_next, dwt_levels)
+
+    mv = jnp.zeros((2, 2, By, Bx), dtype=jnp.int32)
+
+    # coarsest level first (motion_estimate.cpp:292-298)
+    ny, nx = _ceil_half(H, dwt_levels), _ceil_half(W, dwt_levels)
+    by_l, bx_l = _ceil_half(By, dwt_levels), _ceil_half(Bx, dwt_levels)
+    mv_l = _refine_level(pyr_pred[:ny, :nx], pyr_prev[:ny, :nx],
+                         pyr_next[:ny, :nx],
+                         mv[:, :, :by_l, :bx_l],
+                         block_size, border_size, ny, nx)
+    mv = mv.at[:, :, :by_l, :bx_l].set(mv_l)
+
+    for l in range(dwt_levels - 1, -1, -1):
+        ny, nx = _ceil_half(H, l), _ceil_half(W, l)
+        by_f, bx_f = _ceil_half(By, l), _ceil_half(Bx, l)
+        by_c, bx_c = _ceil_half(By, l + 1), _ceil_half(Bx, l + 1)
+        mv = _upsample_mv(mv, by_c, bx_c, by_f, bx_f)
+        mv = jnp.clip(mv * 2, -search_range, search_range)
+        # reference images "widened" one level: equivalently, the packed
+        # pyramid's LL at depth l (motion_estimate.cpp:307-309 runs one
+        # synthesis step; reading the packed array's [:ny, :nx] after that
+        # equals the depth-l LL of the original pyramid).
+        mv_l = _refine_level(
+            dwt2d.ll_view(pyr_pred, l), dwt2d.ll_view(pyr_prev, l),
+            dwt2d.ll_view(pyr_next, l),
+            mv[:, :, :by_f, :bx_f], block_size, border_size, ny, nx)
+        mv = mv.at[:, :, :by_f, :bx_f].set(mv_l)
+
+    if subpixel_accuracy > 0:
+        up_pred, up_prev, up_next = pred, ref_prev, ref_next
+        for s in range(1, subpixel_accuracy + 1):
+            up_pred = dwt2d.upsample2(up_pred)
+            up_prev = dwt2d.upsample2(up_prev)
+            up_next = dwt2d.upsample2(up_next)
+            cap = search_range << subpixel_accuracy
+            mv = jnp.clip(mv * 2, -cap, cap)
+            mv = _refine_level(up_pred, up_prev, up_next, mv,
+                               block_size << s, border_size >> s,
+                               H << s, W << s)
+    return mv
+
+
+@partial(jax.jit, static_argnames=("block_size", "search_range",
+                                   "border_size", "subpixel_accuracy"))
+def estimate_sequence(evens: jnp.ndarray, odds: jnp.ndarray,
+                      block_size: int, search_range: int,
+                      border_size: int = 0, subpixel_accuracy: int = 0
+                      ) -> jnp.ndarray:
+    """Motion fields for a whole temporal level.
+
+    ``evens``: (P+1, H, W) luma; ``odds``: (P, H, W).  Pair i uses
+    (evens[i], odds[i], evens[i+1]) (motion_estimate.cpp:784-907).
+    Returns (P, 2, 2, By, Bx).
+    """
+    f = partial(estimate_pair, block_size=block_size,
+                search_range=search_range, border_size=border_size,
+                subpixel_accuracy=subpixel_accuracy)
+    return jax.vmap(f)(odds, evens[:-1], evens[1:])

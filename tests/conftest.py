@@ -1,0 +1,27 @@
+"""Test configuration: force the CPU backend with 8 virtual devices so
+multi-chip sharding tests run anywhere (the driver validates real-TPU paths
+separately).
+
+Note: the agent environment's ``sitecustomize`` imports jax and registers a
+tunneled TPU plugin before pytest starts, so env vars alone are too late —
+``jax.config.update`` still works because no backend has initialized yet.
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(1234)
