@@ -147,17 +147,29 @@ def estimate_pair(pred: jnp.ndarray, ref_prev: jnp.ndarray,
     By, Bx = H // block_size, W // block_size
     dwt_levels = max(int(round(math.log2(search_range))) - 1, 0)
 
-    pyr_pred = dwt2d.analyze(pred, dwt_levels)
-    pyr_prev = dwt2d.analyze(ref_prev, dwt_levels)
-    pyr_next = dwt2d.analyze(ref_next, dwt_levels)
+    def ll_pyramid(img):
+        """LL images at depths 0..dwt_levels (depth l = what the reference
+        sees after synthesizing back to level l,
+        motion_estimate.cpp:283-309)."""
+        lls = [img]
+        cur = img
+        for _ in range(dwt_levels):
+            packed = dwt2d.analyze(cur, 1)
+            cur = dwt2d.ll_view(packed, 1)
+            lls.append(cur)
+        return lls
+
+    lls_pred = ll_pyramid(pred)
+    lls_prev = ll_pyramid(ref_prev)
+    lls_next = ll_pyramid(ref_next)
 
     mv = jnp.zeros((2, 2, By, Bx), dtype=jnp.int32)
 
     # coarsest level first (motion_estimate.cpp:292-298)
     ny, nx = _ceil_half(H, dwt_levels), _ceil_half(W, dwt_levels)
     by_l, bx_l = _ceil_half(By, dwt_levels), _ceil_half(Bx, dwt_levels)
-    mv_l = _refine_level(pyr_pred[:ny, :nx], pyr_prev[:ny, :nx],
-                         pyr_next[:ny, :nx],
+    mv_l = _refine_level(lls_pred[dwt_levels], lls_prev[dwt_levels],
+                         lls_next[dwt_levels],
                          mv[:, :, :by_l, :bx_l],
                          block_size, border_size, ny, nx)
     mv = mv.at[:, :, :by_l, :bx_l].set(mv_l)
@@ -168,13 +180,8 @@ def estimate_pair(pred: jnp.ndarray, ref_prev: jnp.ndarray,
         by_c, bx_c = _ceil_half(By, l + 1), _ceil_half(Bx, l + 1)
         mv = _upsample_mv(mv, by_c, bx_c, by_f, bx_f)
         mv = jnp.clip(mv * 2, -search_range, search_range)
-        # reference images "widened" one level: equivalently, the packed
-        # pyramid's LL at depth l (motion_estimate.cpp:307-309 runs one
-        # synthesis step; reading the packed array's [:ny, :nx] after that
-        # equals the depth-l LL of the original pyramid).
         mv_l = _refine_level(
-            dwt2d.ll_view(pyr_pred, l), dwt2d.ll_view(pyr_prev, l),
-            dwt2d.ll_view(pyr_next, l),
+            lls_pred[l], lls_prev[l], lls_next[l],
             mv[:, :, :by_f, :bx_f], block_size, border_size, ny, nx)
         mv = mv.at[:, :, :by_f, :bx_f].set(mv_l)
 

@@ -1,0 +1,83 @@
+"""MCTF update lifting step (forward = update, inverse = un_update).
+
+Re-creates ``trunk/src/update.cpp``: each B-frame residue is scattered back
+into both motion-compensated reference (even) frames scaled by
+``update_factor``, destination coordinates clipped to the frame and values
+clamped to [0,255] (update.cpp:71-148, gated to B frames :601-618).  All
+components are processed at luma resolution with chroma (reference and
+residue) interpolated up and the result brought back to 4:2:0 around the
+step (update.cpp:482-501,632-643; the residue interpolation is the intended
+``UPDATE_STEP`` path — without it the reference indexes stale memory beyond
+the chroma quadrant, a latent bug we do not replicate).
+
+TPU-first deviation (documented): the reference applies block updates
+sequentially with a clamp after every accumulation, so colliding
+destinations (possible once vectors differ between blocks, or at clipped
+frame borders) depend on block order.  Here all contributions are
+accumulated with one deterministic ``scatter-add`` and the truncation/clamp
+is applied once — parallel, order-independent, and identical whenever a
+pixel receives a single contribution (the overwhelmingly common case).
+The inverse applies the same accumulated update with opposite sign, so
+encode/decode stay mirrored.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .predict import mv_to_pixel_map, upsample_chroma, downsample_chroma
+
+
+def _update_field(residue_444: jnp.ndarray, mv_dir_y: jnp.ndarray,
+                  mv_dir_x: jnp.ndarray, block_size: int,
+                  update_factor: float) -> jnp.ndarray:
+    """Accumulated float update for one reference from one residue.
+
+    ``residue_444``: (C, H, W) unbiased residue at luma resolution.
+    Returns the (C, H, W) float32 sum of ``residue * update_factor``
+    scattered to motion-compensated (clipped) destinations
+    (update.cpp:88-146).
+    """
+    C, H, W = residue_444.shape
+    mvy = mv_to_pixel_map(mv_dir_y, block_size, H, W)
+    mvx = mv_to_pixel_map(mv_dir_x, block_size, H, W)
+    yy = jnp.arange(H, dtype=jnp.int32)[:, None]
+    xx = jnp.arange(W, dtype=jnp.int32)[None, :]
+    iy = jnp.clip(yy + mvy, 0, H - 1)
+    ix = jnp.clip(xx + mvx, 0, W - 1)
+    # Integer-lifting deviation from update.cpp: the contribution is
+    # quantized to floor(residue * factor) BEFORE applying, so encoder and
+    # decoder add/subtract the *same* integer and the step is exactly
+    # invertible wherever the [0,255] clamp doesn't engage.  The reference
+    # truncates after the float add (update.cpp:99-115), which makes its
+    # encode +floor(u) but its decode -ceil(u) — a systematic ±1 that we do
+    # not reproduce.  For a single contribution the encoder-side values are
+    # bitwise identical to the reference's.
+    contrib = jnp.floor(residue_444.astype(jnp.float32)
+                        * jnp.float32(update_factor)).astype(jnp.int32)
+    out = jnp.zeros((C, H, W), dtype=jnp.int32)
+    flat = iy * W + ix
+    out = out.reshape(C, H * W).at[:, flat.reshape(-1)].add(
+        contrib.reshape(C, H * W), mode="drop")
+    return out.reshape(C, H, W)
+
+
+def apply_update(even_444: jnp.ndarray, upd: jnp.ndarray, sign: int
+                 ) -> jnp.ndarray:
+    """clip(frame ± upd, 0, 255) with the integer update (update.cpp:99-115
+    modulo the integer-lifting deviation documented above)."""
+    return jnp.clip(even_444 + sign * upd, 0, 255)
+
+
+def residue_to_444(high: Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray],
+                   is_B: jnp.ndarray) -> jnp.ndarray:
+    """Biased high-band planes -> unbiased (3, H, W) residue at luma res;
+    zero for I frames (update gated to B, update.cpp:601-618)."""
+    hy, hu, hv = high
+    res = jnp.stack([hy - 128,
+                     upsample_chroma(hu - 128),
+                     upsample_chroma(hv - 128)])
+    return jnp.where(is_B, res, jnp.zeros_like(res))
