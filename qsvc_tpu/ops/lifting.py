@@ -329,11 +329,77 @@ def inv_sp(l: jnp.ndarray, h: jnp.ndarray) -> jnp.ndarray:
         return _interleave(se, so, n)
 
 
+# ---------------------------------------------------------------------------
+# 9/7 irreversible (float) filter bank — CDF 9/7 lifting with symmetric
+# (whole-sample) extension.  This is the texture-coding lossy transform the
+# reference gets from Kakadu's ``Creversible=no`` path
+# (texture_compress_fb_j2k.py:186); constants are the public CDF 9/7 lifting
+# coefficients.
+# ---------------------------------------------------------------------------
+
+A97 = -1.586134342059924
+B97 = -0.052980118572961
+G97 = 0.882911075530934
+D97 = 0.443506852043971
+K97 = 1.230174104914001
+
+
+def _lift_odd(se, so, coef, n_even_extra):
+    """so += coef * (se_i + se_{i+1}) with symmetric edge clamping."""
+    if n_even_extra:                      # odd n: se has one extra sample
+        left = se[..., :-1]
+        right = se[..., 1:]
+    else:                                 # even n: clamp right edge
+        left = se
+        right = jnp.concatenate([se[..., 1:], se[..., -1:]], axis=-1)
+    return so + coef * (left + right)
+
+
+def _lift_even(se, so, coef):
+    """se += coef * (so_{i-1} + so_i) with symmetric edge clamping (works
+    for both parities: trailing even sample clamps to so[-1])."""
+    m = so.shape[-1]
+    nl = se.shape[-1]
+    so_left = jnp.concatenate([so[..., :1], so], axis=-1)[..., :nl]
+    so_right = jnp.concatenate([so, so[..., -1:]], axis=-1)[..., :nl]
+    return se + coef * (so_left + so_right)
+
+
+def fwd97(s: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Forward CDF 9/7 lifting (float32/float64) along the last axis."""
+    n = s.shape[-1]
+    if n == 1:
+        return s, s[..., :0]
+    se, so = _split_phases(s)
+    odd_n = n % 2 == 1
+    so = _lift_odd(se, so, A97, odd_n)
+    se = _lift_even(se, so, B97)
+    so = _lift_odd(se, so, G97, odd_n)
+    se = _lift_even(se, so, D97)
+    return se * (1.0 / K97), so * K97
+
+
+def inv97(l: jnp.ndarray, h: jnp.ndarray) -> jnp.ndarray:
+    m = h.shape[-1]
+    n = l.shape[-1] + m
+    if m == 0:
+        return l
+    se = l * K97
+    so = h * (1.0 / K97)
+    odd_n = n % 2 == 1
+    se = _lift_even(se, so, -D97)
+    so = _lift_odd(se, so, -G97, odd_n)
+    se = _lift_even(se, so, -B97)
+    so = _lift_odd(se, so, -A97, odd_n)
+    return _interleave(se, so, n)
+
+
 FILTERS = {
     "5/3": (fwd53, inv53),
     "haar": (fwd_haar, inv_haar),
     "13/7": (fwd137, inv137),
     "sp": (fwd_sp, inv_sp),
+    "9/7": (fwd97, inv97),
 }
 
 
