@@ -1,0 +1,217 @@
+"""ctypes bridge to the native EBCOT fast path (``native/ebcot.cpp``).
+
+Builds ``libqsvc.so`` on first use (g++ -O3 -fopenmp) and exposes
+``encode_codeblock`` / ``decode_codeblock`` drop-ins for :mod:`.tier1`,
+plus OpenMP-batched variants used by the frame codec.  Falls back to the
+Python reference implementation if the toolchain is unavailable
+(``available()`` reports which path is active).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import sys
+import threading
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from . import tier1
+from .tier1 import CodeblockStream
+
+_BAND_CODE = {"LL": 0, "LH": 0, "HL": 1, "HH": 2}
+_MAX_PASSES = 3 * 64 + 1
+
+_lib = None
+_lib_lock = threading.Lock()
+_build_error: Optional[str] = None
+
+
+def _so_path() -> str:
+    return os.path.join(os.path.dirname(os.path.dirname(__file__)),
+                        "native", "libqsvc.so")
+
+
+def _src_path() -> str:
+    return os.path.join(os.path.dirname(os.path.dirname(__file__)),
+                        "native", "ebcot.cpp")
+
+
+def _build() -> Optional[str]:
+    so = _so_path()
+    src = _src_path()
+    if (os.path.exists(so)
+            and os.path.getmtime(so) >= os.path.getmtime(src)):
+        return so
+    cmd = ["g++", "-O3", "-fopenmp", "-shared", "-fPIC", src, "-o", so]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=300)
+        return so
+    except Exception as e:  # toolchain missing / compile error -> fallback
+        global _build_error
+        _build_error = f"{type(e).__name__}: {e}"
+        return None
+
+
+def _load():
+    global _lib
+    if _lib is not None:
+        return _lib
+    with _lib_lock:
+        if _lib is not None:
+            return _lib
+        so = _build()
+        if so is None:
+            _lib = False
+            return _lib
+        lib = ctypes.CDLL(so)
+        lib.qsvc_encode_block.restype = ctypes.c_int
+        lib.qsvc_decode_block.restype = ctypes.c_int
+        _lib = lib
+    return _lib
+
+
+def available() -> bool:
+    return bool(_load())
+
+
+def encode_codeblock(coeffs: np.ndarray, band: str) -> CodeblockStream:
+    lib = _load()
+    if not lib:
+        return tier1.encode_codeblock(coeffs, band)
+    coeffs = np.ascontiguousarray(coeffs, dtype=np.int64)
+    h, w = coeffs.shape
+    cap = max(4 * h * w * 8, 1 << 14)
+    out = np.empty(cap, np.uint8)
+    msbs = ctypes.c_int()
+    npass = ctypes.c_int()
+    ends = np.zeros(_MAX_PASSES, np.int32)
+    dist = np.zeros(_MAX_PASSES, np.float64)
+    dist0 = ctypes.c_double()
+    total = lib.qsvc_encode_block(
+        coeffs.ctypes.data_as(ctypes.c_void_p), h, w, _BAND_CODE[band],
+        out.ctypes.data_as(ctypes.c_void_p), cap,
+        ctypes.byref(msbs), ctypes.byref(npass),
+        ends.ctypes.data_as(ctypes.c_void_p),
+        dist.ctypes.data_as(ctypes.c_void_p), ctypes.byref(dist0))
+    if total < 0:
+        return tier1.encode_codeblock(coeffs, band)
+    n = npass.value
+    return CodeblockStream(bytes(out[:total]), msbs.value,
+                           ends[:n].tolist(), dist[:n].tolist(),
+                           dist0.value, (h, w), band)
+
+
+def decode_codeblock(data: bytes, msbs: int, num_passes: int,
+                     shape: Tuple[int, int], band: str,
+                     pass_ends: Optional[List[int]] = None) -> np.ndarray:
+    lib = _load()
+    if not lib:
+        return tier1.decode_codeblock(data, msbs, num_passes, shape, band,
+                                      pass_ends)
+    h, w = shape
+    out = np.zeros(h * w, np.int64)
+    ends = np.asarray(pass_ends or [len(data)], np.int32)
+    buf = np.frombuffer(data, np.uint8) if data else np.zeros(1, np.uint8)
+    lib.qsvc_decode_block(
+        buf.ctypes.data_as(ctypes.c_void_p), len(data), msbs, num_passes,
+        ends.ctypes.data_as(ctypes.c_void_p), len(ends),
+        h, w, _BAND_CODE[band],
+        out.ctypes.data_as(ctypes.c_void_p))
+    return out.reshape(h, w)
+
+
+def encode_codeblocks_batch(tiles: Sequence[np.ndarray],
+                            bands: Sequence[str]) -> List[CodeblockStream]:
+    """OpenMP-parallel batch encode; falls back to a Python loop."""
+    lib = _load()
+    if not lib:
+        return [tier1.encode_codeblock(t, b) for t, b in zip(tiles, bands)]
+    nb = len(tiles)
+    if nb == 0:
+        return []
+    sizes = [t.size for t in tiles]
+    offsets = np.concatenate([[0], np.cumsum(sizes[:-1])]).astype(np.int32)
+    flat = np.concatenate([np.ascontiguousarray(t, np.int64).ravel()
+                           for t in tiles])
+    hs = np.asarray([t.shape[0] for t in tiles], np.int32)
+    ws = np.asarray([t.shape[1] for t in tiles], np.int32)
+    bc = np.asarray([_BAND_CODE[b] for b in bands], np.int32)
+    out_stride = max(4 * int(max(sizes)) * 8, 1 << 14)
+    out = np.empty((nb, out_stride), np.uint8)
+    out_lens = np.zeros(nb, np.int32)
+    msbs = np.zeros(nb, np.int32)
+    npass = np.zeros(nb, np.int32)
+    ends = np.zeros((nb, _MAX_PASSES), np.int32)
+    dist = np.zeros((nb, _MAX_PASSES), np.float64)
+    dist0 = np.zeros(nb, np.float64)
+    lib.qsvc_encode_blocks(
+        flat.ctypes.data_as(ctypes.c_void_p),
+        offsets.ctypes.data_as(ctypes.c_void_p),
+        hs.ctypes.data_as(ctypes.c_void_p),
+        ws.ctypes.data_as(ctypes.c_void_p),
+        bc.ctypes.data_as(ctypes.c_void_p), nb,
+        out.ctypes.data_as(ctypes.c_void_p), out_stride,
+        out_lens.ctypes.data_as(ctypes.c_void_p),
+        msbs.ctypes.data_as(ctypes.c_void_p),
+        npass.ctypes.data_as(ctypes.c_void_p),
+        ends.ctypes.data_as(ctypes.c_void_p), _MAX_PASSES,
+        dist.ctypes.data_as(ctypes.c_void_p),
+        dist0.ctypes.data_as(ctypes.c_void_p))
+    res = []
+    for i in range(nb):
+        n = int(npass[i])
+        res.append(CodeblockStream(
+            bytes(out[i, :out_lens[i]]), int(msbs[i]),
+            ends[i, :n].tolist(), dist[i, :n].tolist(),
+            float(dist0[i]), (int(hs[i]), int(ws[i])), bands[i]))
+    return res
+
+
+def decode_codeblocks_batch(blocks) -> List[np.ndarray]:
+    """Batch decode of (data, msbs, num_passes, shape, band, pass_ends)
+    tuples with OpenMP."""
+    lib = _load()
+    if not lib:
+        return [tier1.decode_codeblock(*b) for b in blocks]
+    nb = len(blocks)
+    if nb == 0:
+        return []
+    datas = [b[0] for b in blocks]
+    lens = np.asarray([len(d) for d in datas], np.int64)
+    data_off = np.zeros(nb, np.int64)
+    np.cumsum(lens[:-1], out=data_off[1:])
+    flat = (np.frombuffer(b"".join(datas), np.uint8)
+            if any(lens) else np.zeros(1, np.uint8))
+    msbs = np.asarray([b[1] for b in blocks], np.int32)
+    npass = np.asarray([b[2] for b in blocks], np.int32)
+    hs = np.asarray([b[3][0] for b in blocks], np.int32)
+    ws = np.asarray([b[3][1] for b in blocks], np.int32)
+    bc = np.asarray([_BAND_CODE[b[4]] for b in blocks], np.int32)
+    ends = np.zeros((nb, _MAX_PASSES), np.int32)
+    n_ends = np.zeros(nb, np.int32)
+    for i, b in enumerate(blocks):
+        pe = b[5] or [len(datas[i])]
+        n_ends[i] = len(pe)
+        ends[i, :len(pe)] = pe
+    sizes = (hs.astype(np.int64) * ws.astype(np.int64))
+    out_off = np.concatenate([[0], np.cumsum(sizes[:-1])]).astype(np.int32)
+    out = np.zeros(int(sizes.sum()), np.int64)
+    lens32 = lens.astype(np.int32)
+    lib.qsvc_decode_blocks(
+        flat.ctypes.data_as(ctypes.c_void_p),
+        data_off.ctypes.data_as(ctypes.c_void_p),
+        lens32.ctypes.data_as(ctypes.c_void_p),
+        msbs.ctypes.data_as(ctypes.c_void_p),
+        npass.ctypes.data_as(ctypes.c_void_p),
+        ends.ctypes.data_as(ctypes.c_void_p),
+        n_ends.ctypes.data_as(ctypes.c_void_p), _MAX_PASSES,
+        hs.ctypes.data_as(ctypes.c_void_p),
+        ws.ctypes.data_as(ctypes.c_void_p),
+        bc.ctypes.data_as(ctypes.c_void_p), nb,
+        out.ctypes.data_as(ctypes.c_void_p),
+        out_off.ctypes.data_as(ctypes.c_void_p))
+    return [out[out_off[i]:out_off[i] + sizes[i]].reshape(hs[i], ws[i])
+            for i in range(nb)]

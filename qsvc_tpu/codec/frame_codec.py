@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import dwt2d
-from . import subbands, tier1
+from . import fast, subbands, tier1
 
 #: slope-unit mapping: threshold T(u) = 2**((u - SLOPE_ANCHOR)/256), chosen
 #: so the reference's useful 42000-46000 slope range spans the useful
@@ -177,7 +177,9 @@ def encode_frame(plane: np.ndarray, levels: int, reversible: bool = True,
     H, W = plane.shape
     packed = np.asarray(_dwt_device(jnp.asarray(plane), levels, reversible))
     layout = subbands.band_layout(H, W, levels)
-    blocks: List[EncodedBlock] = []
+    tiles: List[np.ndarray] = []
+    bands: List[str] = []
+    meta: List[Tuple] = []
     for b in layout:
         region = packed[b.y0:b.y0 + b.h, b.x0:b.x0 + b.w]
         if reversible:
@@ -188,13 +190,16 @@ def encode_frame(plane: np.ndarray, levels: int, reversible: bool = True,
             w = subbands.band_gain(b.band, b.level, False) * delta * delta
         for (ty, tx, th, tw) in subbands.codeblock_tiles(b.h, b.w,
                                                          codeblock_size):
-            tile = q[ty:ty + th, tx:tx + tw]
-            cb = tier1.encode_codeblock(tile, b.band if b.band != "LL"
-                                        else "LL")
-            slopes = _hull_slopes(cb.pass_ends, cb.pass_dist, cb.dist0, w)
-            blocks.append(EncodedBlock(
-                b.key, b.level, b.band, ty, tx, (th, tw), cb.msbs,
-                cb.data, cb.pass_ends, slopes))
+            tiles.append(q[ty:ty + th, tx:tx + tw])
+            bands.append(b.band)
+            meta.append((b, ty, tx, th, tw, w))
+    encoded = fast.encode_codeblocks_batch(tiles, bands)
+    blocks: List[EncodedBlock] = []
+    for cb, (b, ty, tx, th, tw, w) in zip(encoded, meta):
+        slopes = _hull_slopes(cb.pass_ends, cb.pass_dist, cb.dist0, w)
+        blocks.append(EncodedBlock(
+            b.key, b.level, b.band, ty, tx, (th, tw), cb.msbs,
+            cb.data, cb.pass_ends, slopes))
     return EncodedFrame(H, W, levels, reversible, delta, codeblock_size,
                         blocks)
 
@@ -216,15 +221,19 @@ def decode_frame(ef: EncodedFrame,
     by_key = {}
     for b in layout:
         by_key.setdefault(b.key, b)
+    todo = []
+    todo_blk = []
     for blk in ef.blocks:
-        b = by_key[blk.band_key]
         if blk.level <= discard_levels and blk.band != "LL":
             continue
         n = (blk.num_passes if threshold <= 0
              else blk.passes_for_threshold(threshold))
-        tile = tier1.decode_codeblock(blk.data, blk.msbs, n, blk.shape,
-                                      blk.band if blk.band != "LL" else "LL",
-                                      blk.pass_ends)
+        todo.append((blk.data, blk.msbs, n, blk.shape, blk.band,
+                     blk.pass_ends))
+        todo_blk.append(blk)
+    decoded = fast.decode_codeblocks_batch(todo)
+    for blk, tile in zip(todo_blk, decoded):
+        b = by_key[blk.band_key]
         if not ef.reversible:
             v = tile.astype(np.float64)
             adj = np.where(v > 0, 0.5, np.where(v < 0, -0.5, 0.0))
