@@ -1,0 +1,178 @@
+"""Command-line interface: ``python -m qsvc_tpu.cli <command> ...``.
+
+Mirrors the reference's ``mctf compress | expand | transcode | info | psnr``
+vocabulary (``mctf.sh`` dispatcher + ``MCTF_parser.py`` flags) with the
+same canonical parameter names.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+from .config import CodecConfig
+from .io import yuv
+
+
+def _add_common(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--pixels_in_x", type=int, default=352)
+    p.add_argument("--pixels_in_y", type=int, default=288)
+    p.add_argument("--TRLs", type=int, default=4)
+    p.add_argument("--SRLs", type=int, default=5)
+    p.add_argument("--GOPs", type=int, default=1)
+    p.add_argument("--block_size", type=int, default=0)
+    p.add_argument("--block_size_min", type=int, default=0)
+    p.add_argument("--search_range", type=int, default=4)
+    p.add_argument("--subpixel_accuracy", type=int, default=0)
+    p.add_argument("--update_factor", type=float, default=0.25)
+    p.add_argument("--always_B", type=int, default=0)
+    p.add_argument("--quantization_texture", type=float, default=45000)
+    p.add_argument("--quantization_step", type=float, default=0)
+    p.add_argument("--nLayers", type=int, default=5)
+    p.add_argument("--FPS", type=float, default=30.0)
+
+
+def _cfg(args) -> CodecConfig:
+    return CodecConfig(
+        pixels_in_x=args.pixels_in_x, pixels_in_y=args.pixels_in_y,
+        TRLs=args.TRLs, SRLs=args.SRLs, GOPs=args.GOPs,
+        block_size=args.block_size, block_size_min=args.block_size_min,
+        search_range=args.search_range,
+        subpixel_accuracy=args.subpixel_accuracy,
+        update_factor=args.update_factor, always_B=bool(args.always_B),
+        quantization_texture=args.quantization_texture,
+        quantization_step=args.quantization_step, nLayers=args.nLayers,
+        FPS=args.FPS)
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="qsvc",
+                                 description="TPU-native scalable video codec")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    pc = sub.add_parser("compress", help="encode a raw YUV420 video")
+    _add_common(pc)
+    pc.add_argument("--input", required=True, help="raw .yuv (I420) file")
+    pc.add_argument("--output", required=True, help="output .qsvc stream")
+    pc.add_argument("--lossless", action="store_true",
+                    help="reversible 5/3 path, no truncation")
+    pc.add_argument("--pictures", type=int, default=0,
+                    help="frames to read (default: GOPs*gop_size+1)")
+
+    pe = sub.add_parser("expand", help="decode a .qsvc stream")
+    pe.add_argument("--input", required=True)
+    pe.add_argument("--output", required=True)
+    pe.add_argument("--quantization", type=float, default=0,
+                    help="decode-time slope threshold (QS extraction)")
+    pe.add_argument("--discard_TRLs", type=int, default=0,
+                    help="drop finest temporal levels (TS extraction)")
+
+    pt = sub.add_parser("transcode", help="extract a reduced stream")
+    pt.add_argument("--input", required=True)
+    pt.add_argument("--output", required=True)
+    pt.add_argument("--quantization", type=float, default=0)
+    pt.add_argument("--clayers", type=int, default=0,
+                    help="keep only the first N quality layers")
+    pt.add_argument("--discard_TRLs", type=int, default=0)
+    pt.add_argument("--discard_SRLs", type=int, default=0)
+    pt.add_argument("--algorithm", default="PTS",
+                    choices=["PTS", "PTL", "AmPTL", "FS"],
+                    help="layer-ordering / BRC policy")
+    pt.add_argument("--BRC", type=float, default=0,
+                    help="target kbps for rate-controlled extraction")
+    pt.add_argument("--FPS", type=float, default=30.0)
+
+    pi = sub.add_parser("info", help="bitrate accounting of a stream")
+    pi.add_argument("--input", required=True)
+    pi.add_argument("--FPS", type=float, default=30.0)
+
+    pp = sub.add_parser("psnr", help="PSNR between two raw videos")
+    pp.add_argument("--file_A", required=True)
+    pp.add_argument("--file_B", required=True)
+    pp.add_argument("--pixels_in_x", type=int, required=True)
+    pp.add_argument("--pixels_in_y", type=int, required=True)
+
+    args = ap.parse_args(argv)
+
+    if args.cmd == "compress":
+        from .api import compress
+        cfg = _cfg(args)
+        n = args.pictures or cfg.pictures
+        vid = yuv.read_yuv(args.input, cfg.pixels_in_x, cfg.pixels_in_y, n)
+        if vid.frames < n:
+            print(f"warning: only {vid.frames} frames available", file=sys.stderr)
+        if cfg.TRLs > 1:
+            want = ((vid.frames - 1) // cfg.gop_size) * cfg.gop_size + 1
+            if want < vid.frames:
+                vid = vid[:want]
+                print(f"note: trimmed to {want} frames (k*gop_size+1)",
+                      file=sys.stderr)
+            cfg = cfg.replace(GOPs=(vid.frames - 1) // cfg.gop_size)
+        if args.lossless:
+            cfg = cfg.replace(quantization_texture=0)
+        t0 = time.time()
+        vs = compress(vid, cfg, reversible=args.lossless)
+        data = vs.to_bytes()
+        dt = time.time() - t0
+        with open(args.output, "wb") as f:
+            f.write(data)
+        raw = vid.y.size * 3 // 2
+        print(f"{vid.frames} frames -> {len(data)} bytes "
+              f"({len(data)*8/raw:.3f} bpp) in {dt:.2f}s "
+              f"({vid.frames/dt:.2f} fps)")
+        return 0
+
+    if args.cmd == "expand":
+        from .api import expand
+        from .codec.codestream import VideoStream
+        from .codec.frame_codec import slope_to_threshold
+        with open(args.input, "rb") as f:
+            vs = VideoStream.from_bytes(f.read())
+        thr = slope_to_threshold(args.quantization) if args.quantization else 0.0
+        t0 = time.time()
+        vid = expand(vs, threshold=thr, discard_TRLs=args.discard_TRLs)
+        dt = time.time() - t0
+        yuv.write_yuv(args.output, vid)
+        print(f"{vid.frames} frames ({vid.width}x{vid.height}) in {dt:.2f}s "
+              f"({vid.frames/dt:.2f} fps)")
+        return 0
+
+    if args.cmd == "transcode":
+        from .scal import extract
+        from .codec.codestream import VideoStream
+        with open(args.input, "rb") as f:
+            vs = VideoStream.from_bytes(f.read())
+        out = extract.transcode(
+            vs, quantization=args.quantization, clayers=args.clayers,
+            discard_TRLs=args.discard_TRLs, discard_SRLs=args.discard_SRLs,
+            algorithm=args.algorithm, BRC=args.BRC, fps=args.FPS)
+        data = out.to_bytes()
+        with open(args.output, "wb") as f:
+            f.write(data)
+        print(f"extracted {len(data)} bytes")
+        return 0
+
+    if args.cmd == "info":
+        from .scal.info import format_table, stream_info
+        from .codec.codestream import VideoStream
+        with open(args.input, "rb") as f:
+            vs = VideoStream.from_bytes(f.read())
+        print(format_table(stream_info(vs, args.FPS)))
+        return 0
+
+    if args.cmd == "psnr":
+        a = yuv.read_yuv(args.file_A, args.pixels_in_x, args.pixels_in_y)
+        b = yuv.read_yuv(args.file_B, args.pixels_in_x, args.pixels_in_y)
+        n = min(a.frames, b.frames)
+        py, pu, pv = yuv.video_psnr(a[:n], b[:n])
+        print(f"Y {py:.3f} dB  U {pu:.3f} dB  V {pv:.3f} dB")
+        return 0
+
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -59,6 +59,8 @@ def analyze(x: jnp.ndarray, levels: int, filt: str = "5/3") -> jnp.ndarray:
     rows first then columns, operating in place on the active top-left
     region.
     """
+    if filt == "9/7" and not jnp.issubdtype(x.dtype, jnp.floating):
+        x = x.astype(jnp.float32)
     H, W = x.shape[-2], x.shape[-1]
     ys = _level_sizes(H, levels)
     xs = _level_sizes(W, levels)
@@ -74,6 +76,8 @@ def analyze(x: jnp.ndarray, levels: int, filt: str = "5/3") -> jnp.ndarray:
 def synthesize(x: jnp.ndarray, levels: int, filt: str = "5/3") -> jnp.ndarray:
     """Packed multi-level inverse 2D DWT (dwt2d.cpp:128-175): per level,
     columns first then rows."""
+    if filt == "9/7" and not jnp.issubdtype(x.dtype, jnp.floating):
+        x = x.astype(jnp.float32)
     H, W = x.shape[-2], x.shape[-1]
     ys = _level_sizes(H, levels)
     xs = _level_sizes(W, levels)
