@@ -10,6 +10,7 @@ arrays instead of files.
 
 from __future__ import annotations
 
+import math
 from dataclasses import dataclass
 from typing import Dict, List, Optional, Tuple
 
@@ -28,16 +29,17 @@ from .codec.frame_codec import slope_to_threshold
 
 def _encode_plane_set(y: np.ndarray, u: np.ndarray, v: np.ndarray,
                       levels: int, reversible: bool, delta: float,
-                      codeblock: int) -> List[Dict[str, frame_codec.EncodedFrame]]:
+                      codeblock: int, min_threshold: float = 0.0
+                      ) -> List[Dict[str, frame_codec.EncodedFrame]]:
     out = []
     for i in range(y.shape[0]):
         out.append({
             "y": frame_codec.encode_frame(y[i], levels, reversible, delta,
-                                          codeblock),
+                                          codeblock, min_threshold),
             "u": frame_codec.encode_frame(u[i], levels, reversible, delta,
-                                          codeblock),
+                                          codeblock, min_threshold),
             "v": frame_codec.encode_frame(v[i], levels, reversible, delta,
-                                          codeblock),
+                                          codeblock, min_threshold),
         })
     return out
 
@@ -54,7 +56,7 @@ def _decode_plane_set(frames: List[Dict[str, frame_codec.EncodedFrame]],
 
 
 def compress(video: Video, cfg: CodecConfig, reversible: bool = True,
-             delta: float = 0.125, lossless: Optional[bool] = None
+             delta: Optional[float] = None, lossless: Optional[bool] = None
              ) -> VideoStream:
     """Encode a video to a :class:`VideoStream`.
 
@@ -68,6 +70,16 @@ def compress(video: Video, cfg: CodecConfig, reversible: bool = True,
     cfg.validate()
     if lossless is None:
         lossless = reversible and cfg.quantization_texture <= 0
+    if delta is None:
+        # tie the 9/7 base quantization step to the operating point: finer
+        # than the truncation threshold needs, but no finer — deep planes
+        # that any truncation would drop are then never produced (the
+        # equivalent of choosing Qstep to match -slope in Kakadu)
+        if not reversible and not lossless and cfg.quantization_texture > 0:
+            t = slope_to_threshold(float(cfg.quantization_texture))
+            delta = float(np.clip(math.sqrt(t) / 8.0, 0.125, 8.0))
+        else:
+            delta = 0.125
     y = jnp.asarray(np.asarray(video.y, np.int32))
     u = jnp.asarray(np.asarray(video.u, np.int32))
     v = jnp.asarray(np.asarray(video.v, np.int32))
@@ -93,7 +105,7 @@ def compress(video: Video, cfg: CodecConfig, reversible: bool = True,
 
     low = _encode_plane_set(np.asarray(stream.low_y), np.asarray(stream.low_u),
                             np.asarray(stream.low_v), srl_levels, reversible,
-                            delta, cb)
+                            delta, cb, thr(0))
     low = trunc(low, 0)
 
     mv_fields = [np.asarray(lev.mv) for lev in stream.levels]
@@ -105,7 +117,8 @@ def compress(video: Video, cfg: CodecConfig, reversible: bool = True,
         high = _encode_plane_set(np.asarray(lev.high_y),
                                  np.asarray(lev.high_u),
                                  np.asarray(lev.high_v),
-                                 srl_levels, reversible, delta, cb)
+                                 srl_levels, reversible, delta, cb,
+                                 thr(cfg.TRLs - t))
         high = trunc(high, cfg.TRLs - t)
         res = np.asarray(residues[t - 1])
         motion = [codestream.encode_motion_field(res[i])

@@ -124,8 +124,15 @@ def decode_codeblock(data: bytes, msbs: int, num_passes: int,
 
 
 def encode_codeblocks_batch(tiles: Sequence[np.ndarray],
-                            bands: Sequence[str]) -> List[CodeblockStream]:
-    """OpenMP-parallel batch encode; falls back to a Python loop."""
+                            bands: Sequence[str],
+                            min_slopes: Optional[Sequence[float]] = None
+                            ) -> List[CodeblockStream]:
+    """OpenMP-parallel batch encode; falls back to a Python loop.
+
+    ``min_slopes``: optional per-block early-stop threshold (unweighted
+    SSE-per-byte): planes whose slope falls below it are not coded — they
+    could never survive truncation at that threshold.
+    """
     lib = _load()
     if not lib:
         return [tier1.encode_codeblock(t, b) for t, b in zip(tiles, bands)]
@@ -147,6 +154,11 @@ def encode_codeblocks_batch(tiles: Sequence[np.ndarray],
     ends = np.zeros((nb, _MAX_PASSES), np.int32)
     dist = np.zeros((nb, _MAX_PASSES), np.float64)
     dist0 = np.zeros(nb, np.float64)
+    if min_slopes is not None:
+        ms = np.ascontiguousarray(min_slopes, np.float64)
+        ms_ptr = ms.ctypes.data_as(ctypes.c_void_p)
+    else:
+        ms_ptr = None
     lib.qsvc_encode_blocks(
         flat.ctypes.data_as(ctypes.c_void_p),
         offsets.ctypes.data_as(ctypes.c_void_p),
@@ -159,7 +171,8 @@ def encode_codeblocks_batch(tiles: Sequence[np.ndarray],
         npass.ctypes.data_as(ctypes.c_void_p),
         ends.ctypes.data_as(ctypes.c_void_p), _MAX_PASSES,
         dist.ctypes.data_as(ctypes.c_void_p),
-        dist0.ctypes.data_as(ctypes.c_void_p))
+        dist0.ctypes.data_as(ctypes.c_void_p),
+        ms_ptr)
     res = []
     for i in range(nb):
         n = int(npass[i])

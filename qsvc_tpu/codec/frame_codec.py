@@ -31,8 +31,9 @@ from . import fast, subbands, tier1
 
 #: slope-unit mapping: threshold T(u) = 2**((u - SLOPE_ANCHOR)/256), chosen
 #: so the reference's useful 42000-46000 slope range spans the useful
-#: distortion-per-byte range of 8-bit video (see BASELINE.md).
-SLOPE_ANCHOR = 42000.0
+#: distortion-per-byte range of 8-bit video (42000 ~ near-transparent,
+#: 45000 ~ mid-rate, 46000 ~ very low rate; calibrated on 1080p content).
+SLOPE_ANCHOR = 43000.0
 
 
 def slope_to_threshold(u: float) -> float:
@@ -171,15 +172,21 @@ def _hull_slopes(pass_ends: Sequence[int], dists: Sequence[float],
 
 
 def encode_frame(plane: np.ndarray, levels: int, reversible: bool = True,
-                 delta: float = 0.125, codeblock_size: int = 64
-                 ) -> EncodedFrame:
-    """Encode one component plane (uint8-range values)."""
+                 delta: float = 0.125, codeblock_size: int = 64,
+                 min_threshold: float = 0.0) -> EncodedFrame:
+    """Encode one component plane (uint8-range values).
+
+    ``min_threshold``: weighted-slope floor — planes whose distortion-length
+    slope falls well below it are never coded (they cannot survive
+    truncation at that threshold), which skips most deep bit-planes at
+    lossy operating points."""
     H, W = plane.shape
     packed = np.asarray(_dwt_device(jnp.asarray(plane), levels, reversible))
     layout = subbands.band_layout(H, W, levels)
     tiles: List[np.ndarray] = []
     bands: List[str] = []
     meta: List[Tuple] = []
+    min_slopes: List[float] = []
     for b in layout:
         region = packed[b.y0:b.y0 + b.h, b.x0:b.x0 + b.w]
         if reversible:
@@ -193,7 +200,12 @@ def encode_frame(plane: np.ndarray, levels: int, reversible: bool = True,
             tiles.append(q[ty:ty + th, tx:tx + tw])
             bands.append(b.band)
             meta.append((b, ty, tx, th, tw, w))
-    encoded = fast.encode_codeblocks_batch(tiles, bands)
+            # /8 margin: early stop only after the slope is far below the
+            # truncation point, so hull non-convexities are not cut short
+            min_slopes.append(min_threshold / w / 8.0
+                              if min_threshold > 0 else 0.0)
+    encoded = fast.encode_codeblocks_batch(tiles, bands, min_slopes
+                                           if min_threshold > 0 else None)
     blocks: List[EncodedBlock] = []
     for cb, (b, ty, tx, th, tw, w) in zip(encoded, meta):
         slopes = _hull_slopes(cb.pass_ends, cb.pass_dist, cb.dist0, w)

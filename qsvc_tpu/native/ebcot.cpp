@@ -265,10 +265,11 @@ extern "C" {
 // Encode one code-block.
 // coeffs: h*w int64 row-major.  Returns total bytes (or -1 if out_cap too
 // small).  Outputs: msbs, n_passes, pass_ends[<=3*64], pass_dist, dist0.
-int qsvc_encode_block(const int64_t* coeffs, int h, int w, int band,
-                      uint8_t* out_buf, int out_cap,
-                      int* msbs_out, int* n_passes_out,
-                      int* pass_ends, double* pass_dist, double* dist0) {
+int qsvc_encode_block_t(const int64_t* coeffs, int h, int w, int band,
+                        uint8_t* out_buf, int out_cap,
+                        int* msbs_out, int* n_passes_out,
+                        int* pass_ends, double* pass_dist, double* dist0,
+                        double min_slope) {
   int n = h * w;
   std::vector<int64_t> mag(n);
   std::vector<uint8_t> neg(n);
@@ -390,12 +391,29 @@ int qsvc_encode_block(const int64_t* coeffs, int h, int w, int band,
     cleanup_pass(plane);
     pass_ends[np] = enc.flush();
     pass_dist[np++] = distortion(mag.data(), st, plane, false);
+    // early stop: once a whole plane's distortion-length slope falls below
+    // min_slope, deeper planes (with ~4x smaller slopes) cannot be kept by
+    // any truncation at that threshold — skip coding them entirely.
+    if (min_slope > 0 && np >= 4) {
+      double dD = pass_dist[np - 4] - pass_dist[np - 1];
+      double dR = (double)(pass_ends[np - 1] - pass_ends[np - 4]);
+      if (dR > 0 && dD / dR < min_slope) break;
+    }
   }
   *n_passes_out = np;
   int total = (int)enc.out.size();
   if (total > out_cap) return -1;
   std::memcpy(out_buf, enc.out.data(), total);
   return total;
+}
+
+int qsvc_encode_block(const int64_t* coeffs, int h, int w, int band,
+                      uint8_t* out_buf, int out_cap,
+                      int* msbs_out, int* n_passes_out,
+                      int* pass_ends, double* pass_dist, double* dist0) {
+  return qsvc_encode_block_t(coeffs, h, w, band, out_buf, out_cap,
+                             msbs_out, n_passes_out, pass_ends, pass_dist,
+                             dist0, 0.0);
 }
 
 // Decode one code-block (possibly truncated to n_passes).
@@ -527,15 +545,17 @@ void qsvc_encode_blocks(const int64_t* coeffs, const int* offsets,
                         uint8_t* out_bufs, int out_stride,
                         int* out_lens, int* msbs, int* n_passes,
                         int* pass_ends, int pass_stride,
-                        double* pass_dist, double* dist0) {
+                        double* pass_dist, double* dist0,
+                        const double* min_slopes) {
 #pragma omp parallel for schedule(dynamic)
   for (int i = 0; i < n_blocks; i++) {
-    out_lens[i] = qsvc_encode_block(
+    out_lens[i] = qsvc_encode_block_t(
         coeffs + offsets[i], hs[i], ws[i], bands[i],
         out_bufs + (size_t)i * out_stride, out_stride,
         msbs + i, n_passes + i,
         pass_ends + (size_t)i * pass_stride,
-        pass_dist + (size_t)i * pass_stride, dist0 + i);
+        pass_dist + (size_t)i * pass_stride, dist0 + i,
+        min_slopes ? min_slopes[i] : 0.0);
   }
 }
 

@@ -1,0 +1,247 @@
+"""Distributed MCTF: GOPs sharded over a device mesh, boundary halos over
+ICI collectives.
+
+Each device runs the full per-GOP temporal transform locally (split, ME,
+predict — all intra-GOP by construction, since a GOP carries both of its
+boundary reference frames); only the MCTF **update** step couples adjacent
+GOPs through the shared boundary frame: in the sequential reference, the
+boundary even frame receives the NEXT-direction update from the last pair
+of GOP ``g`` and the PREV-direction update from the first pair of GOP
+``g+1`` (update.cpp iteration order).  Here that is exactly two
+``lax.ppermute`` halo exchanges of one frame per temporal level:
+
+  phase 1: every device applies its local NEXT updates; the updated right
+           boundary is sent rightward, replacing the neighbour's left
+           boundary copy;
+  phase 2: every device applies its local PREV updates (the received left
+           boundary now accumulates both contributions, in the reference's
+           order); the finished left boundary is sent leftward so both
+           copies of the shared frame agree.
+
+Synthesis mirrors the same pattern with subtraction.  With
+``update_factor == 0`` there is no cross-GOP coupling and the transform is
+embarrassingly parallel.
+
+Usage: ``shard_map`` over the ``gop`` mesh axis with one GOP per device
+(the driver's multi-chip dry run), or vmap-within-device for more GOPs
+than devices.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from ..config import CodecConfig
+from ..mctf import me, predict, update
+from ..mctf.transform import LevelData, MCTFStream
+
+
+def _right_shift(x: jnp.ndarray, axis_name: str) -> jnp.ndarray:
+    """Receive the left neighbour's value (device i gets i-1's x)."""
+    n = lax.axis_size(axis_name)
+    return lax.ppermute(x, axis_name, [(i, (i + 1) % n) for i in range(n)])
+
+
+def _left_shift(x: jnp.ndarray, axis_name: str) -> jnp.ndarray:
+    n = lax.axis_size(axis_name)
+    return lax.ppermute(x, axis_name, [(i, (i - 1) % n) for i in range(n)])
+
+
+def _analyze_level_dist(low, block_size, search_range, cfg, axis_name):
+    """One temporal level on local per-GOP frames with halo exchange."""
+    y, u, v = low
+    ey, eu, ev = y[0::2], u[0::2], v[0::2]
+    oy, ou, ov = y[1::2], u[1::2], v[1::2]
+
+    mv = me.estimate_sequence(ey, oy, block_size, search_range,
+                              cfg.border_size, cfg.subpixel_accuracy)
+    evens444 = jax.vmap(lambda a, b, c: predict.refs_to_444((a, b, c)))(
+        ey, eu, ev)
+    dec = jax.vmap(partial(predict.decorrelate_pair,
+                           block_size=block_size, search_range=search_range,
+                           block_overlaping=cfg.block_overlaping,
+                           always_B=cfg.always_B))(
+        (oy, ou, ov), evens444[:-1], evens444[1:], mv)
+
+    if cfg.update_factor != 0.0:
+        res444 = jax.vmap(update.residue_to_444)(
+            (dec.high_y, dec.high_u, dec.high_v),
+            dec.is_B[:, None, None, None])
+        upd_prev = jax.vmap(partial(update._update_field,
+                                    block_size=block_size,
+                                    update_factor=cfg.update_factor))(
+            res444, dec.mv_out[:, 0, 0], dec.mv_out[:, 0, 1])
+        upd_next = jax.vmap(partial(update._update_field,
+                                    block_size=block_size,
+                                    update_factor=cfg.update_factor))(
+            res444, dec.mv_out[:, 1, 0], dec.mv_out[:, 1, 1])
+        ev444 = evens444
+        # phase 1: NEXT updates (evens 1..k locally)
+        ev444 = ev444.at[1:].set(jax.vmap(partial(update.apply_update,
+                                                  sign=1))(
+            ev444[1:], upd_next))
+        # halo: device g's updated right boundary -> device g+1's left copy
+        idx = lax.axis_index(axis_name)
+        from_left = _right_shift(ev444[-1], axis_name)
+        left0 = jnp.where(idx == 0, ev444[0], from_left)
+        ev444 = ev444.at[0].set(left0)
+        # phase 2: PREV updates (evens 0..k-1 locally)
+        ev444 = ev444.at[:-1].set(jax.vmap(partial(update.apply_update,
+                                                   sign=1))(
+            ev444[:-1], upd_prev))
+        # halo back: device g+1's finished left boundary -> device g's right
+        n = lax.axis_size(axis_name)
+        from_right = _left_shift(ev444[0], axis_name)
+        rightk = jnp.where(idx == n - 1, ev444[-1], from_right)
+        ev444 = ev444.at[-1].set(rightk)
+        ly = ev444[:, 0]
+        lu = jax.vmap(predict.downsample_chroma)(ev444[:, 1])
+        lv = jax.vmap(predict.downsample_chroma)(ev444[:, 2])
+    else:
+        ly, lu, lv = ey, eu, ev
+
+    return (ly, lu, lv), LevelData(dec.high_y, dec.high_u, dec.high_v,
+                                   dec.mv_out, dec.is_B)
+
+
+def _synthesize_level_dist(low, lev: LevelData, block_size, search_range,
+                           cfg, axis_name):
+    ly, lu, lv = low
+    low444 = jax.vmap(lambda a, b, c: predict.refs_to_444((a, b, c)))(
+        ly, lu, lv)
+
+    if cfg.update_factor != 0.0:
+        res444 = jax.vmap(update.residue_to_444)(
+            (lev.high_y, lev.high_u, lev.high_v),
+            lev.is_B[:, None, None, None])
+        upd_prev = jax.vmap(partial(update._update_field,
+                                    block_size=block_size,
+                                    update_factor=cfg.update_factor))(
+            res444, lev.mv[:, 0, 0], lev.mv[:, 0, 1])
+        upd_next = jax.vmap(partial(update._update_field,
+                                    block_size=block_size,
+                                    update_factor=cfg.update_factor))(
+            res444, lev.mv[:, 1, 0], lev.mv[:, 1, 1])
+        ev444 = low444
+        ev444 = ev444.at[1:].set(jax.vmap(partial(update.apply_update,
+                                                  sign=-1))(
+            ev444[1:], upd_next))
+        idx = lax.axis_index(axis_name)
+        from_left = _right_shift(ev444[-1], axis_name)
+        left0 = jnp.where(idx == 0, ev444[0], from_left)
+        ev444 = ev444.at[0].set(left0)
+        ev444 = ev444.at[:-1].set(jax.vmap(partial(update.apply_update,
+                                                   sign=-1))(
+            ev444[:-1], upd_prev))
+        n = lax.axis_size(axis_name)
+        from_right = _left_shift(ev444[0], axis_name)
+        rightk = jnp.where(idx == n - 1, ev444[-1], from_right)
+        ev444 = ev444.at[-1].set(rightk)
+    else:
+        ev444 = low444
+
+    oy, ou, ov = jax.vmap(partial(predict.correlate_pair,
+                                  block_size=block_size,
+                                  search_range=search_range,
+                                  block_overlaping=cfg.block_overlaping))(
+        (lev.high_y, lev.high_u, lev.high_v),
+        ev444[:-1], ev444[1:],
+        lev.mv, lev.is_B[:, None, None])
+
+    ey = ev444[:, 0]
+    eu = jax.vmap(predict.downsample_chroma)(ev444[:, 1])
+    ev_ = jax.vmap(predict.downsample_chroma)(ev444[:, 2])
+
+    def merge(e, o):
+        n_ = e.shape[0] + o.shape[0]
+        out = jnp.zeros((n_,) + e.shape[1:], dtype=e.dtype)
+        return out.at[0::2].set(e).at[1::2].set(o)
+
+    return merge(ey, oy), merge(eu, ou), merge(ev_, ov)
+
+
+def _analyze_local(y, u, v, cfg: CodecConfig, axis_name: str) -> MCTFStream:
+    low = (y, u, v)
+    levels = []
+    for lp in cfg.level_schedule():
+        low, lev = _analyze_level_dist(low, lp.block_size, lp.search_range,
+                                       cfg, axis_name)
+        levels.append(lev)
+    return MCTFStream(low[0], low[1], low[2], tuple(levels))
+
+
+def _synthesize_local(stream: MCTFStream, cfg: CodecConfig, axis_name: str):
+    low = (stream.low_y, stream.low_u, stream.low_v)
+    for lp, lev in zip(reversed(cfg.level_schedule()),
+                       reversed(stream.levels)):
+        low = _synthesize_level_dist(low, lev, lp.block_size,
+                                     lp.search_range, cfg, axis_name)
+    return low
+
+
+def analyze_sharded(y, u, v, cfg: CodecConfig, mesh: Mesh,
+                    axis: str = "gop"):
+    """Distributed forward MCTF.
+
+    ``y``: (G, S+1, H, W) with G == mesh axis size, sharded on the leading
+    axis; chroma likewise.  Returns a per-GOP MCTFStream pytree with the
+    leading GOP axis sharded.
+    """
+    def fn(y_, u_, v_):
+        # local shapes (1, S+1, ...) -> per-GOP compute
+        st = _analyze_local(y_[0], u_[0], v_[0], cfg, axis)
+        return jax.tree.map(lambda a: a[None], st)
+
+    spec = P(axis)
+    return shard_map(fn, mesh=mesh, in_specs=(spec, spec, spec),
+                     out_specs=spec, check_vma=False)(y, u, v)
+
+
+def synthesize_sharded(stream, cfg: CodecConfig, mesh: Mesh,
+                       axis: str = "gop"):
+    """Distributed inverse MCTF on a per-GOP stream pytree."""
+    def fn(st):
+        local = jax.tree.map(lambda a: a[0], st)
+        out = _synthesize_local(local, cfg, axis)
+        return jax.tree.map(lambda a: a[None], out)
+
+    spec = P(axis)
+    return shard_map(fn, mesh=mesh, in_specs=(spec,), out_specs=spec,
+                     check_vma=False)(stream)
+
+
+def encode_step_sharded(y, u, v, cfg: CodecConfig, mesh: Mesh,
+                        axis: str = "gop"):
+    """Full device-side encode step: distributed MCTF + packed spatial DWT
+    of every subband frame (the part of ``compress`` that runs on chips;
+    EBCOT consumes the returned coefficient planes on host)."""
+    from ..ops import dwt2d
+
+    srl = cfg.SRLs - 1
+
+    def fn(y_, u_, v_):
+        st = _analyze_local(y_[0], u_[0], v_[0], cfg, axis)
+
+        def dwt(frames, filt="5/3"):
+            return dwt2d.analyze(frames - 128, srl, filt)
+
+        out = {
+            "low": tuple(dwt(x) for x in
+                         (st.low_y, st.low_u, st.low_v)),
+            "levels": tuple(
+                (dwt(lev.high_y), dwt(lev.high_u), dwt(lev.high_v),
+                 lev.mv, lev.is_B)
+                for lev in st.levels),
+        }
+        return jax.tree.map(lambda a: a[None], out)
+
+    spec = P(axis)
+    return shard_map(fn, mesh=mesh, in_specs=(spec, spec, spec),
+                     out_specs=spec, check_vma=False)(y, u, v)
