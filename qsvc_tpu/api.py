@@ -31,28 +31,27 @@ def _encode_plane_set(y: np.ndarray, u: np.ndarray, v: np.ndarray,
                       levels: int, reversible: bool, delta: float,
                       codeblock: int, min_threshold: float = 0.0
                       ) -> List[Dict[str, frame_codec.EncodedFrame]]:
-    out = []
-    for i in range(y.shape[0]):
-        out.append({
-            "y": frame_codec.encode_frame(y[i], levels, reversible, delta,
-                                          codeblock, min_threshold),
-            "u": frame_codec.encode_frame(u[i], levels, reversible, delta,
-                                          codeblock, min_threshold),
-            "v": frame_codec.encode_frame(v[i], levels, reversible, delta,
-                                          codeblock, min_threshold),
-        })
-    return out
+    """Batched per-component encode: one device DWT + one native EBCOT
+    batch per component stack."""
+    ey = frame_codec.encode_frames(y, levels, reversible, delta, codeblock,
+                                   min_threshold)
+    eu = frame_codec.encode_frames(u, levels, reversible, delta, codeblock,
+                                   min_threshold)
+    ev = frame_codec.encode_frames(v, levels, reversible, delta, codeblock,
+                                   min_threshold)
+    return [{"y": a, "u": b, "v": c} for a, b, c in zip(ey, eu, ev)]
 
 
 def _decode_plane_set(frames: List[Dict[str, frame_codec.EncodedFrame]],
                       threshold: float = 0.0, discard_levels: int = 0
                       ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-    ys, us, vs = [], [], []
-    for fr in frames:
-        ys.append(frame_codec.decode_frame(fr["y"], threshold, discard_levels))
-        us.append(frame_codec.decode_frame(fr["u"], threshold, discard_levels))
-        vs.append(frame_codec.decode_frame(fr["v"], threshold, discard_levels))
-    return np.stack(ys), np.stack(us), np.stack(vs)
+    ys = frame_codec.decode_frames([fr["y"] for fr in frames], threshold,
+                                   discard_levels)
+    us = frame_codec.decode_frames([fr["u"] for fr in frames], threshold,
+                                   discard_levels)
+    vs = frame_codec.decode_frames([fr["v"] for fr in frames], threshold,
+                                   discard_levels)
+    return ys, us, vs
 
 
 def compress(video: Video, cfg: CodecConfig, reversible: bool = True,

@@ -33,7 +33,7 @@ from . import fast, subbands, tier1
 #: so the reference's useful 42000-46000 slope range spans the useful
 #: distortion-per-byte range of 8-bit video (42000 ~ near-transparent,
 #: 45000 ~ mid-rate, 46000 ~ very low rate; calibrated on 1080p content).
-SLOPE_ANCHOR = 43000.0
+SLOPE_ANCHOR = 43500.0
 
 
 def slope_to_threshold(u: float) -> float:
@@ -108,6 +108,7 @@ class EncodedFrame:
 
 @partial(jax.jit, static_argnames=("levels", "reversible"))
 def _dwt_device(plane: jnp.ndarray, levels: int, reversible: bool):
+    """Forward texture DWT; batches over any leading axes."""
     if reversible:
         return dwt2d.analyze(plane.astype(jnp.int32) - 128, levels, "5/3")
     return dwt2d.analyze(plane.astype(jnp.float32) - 128.0, levels, "9/7")
@@ -169,6 +170,100 @@ def _hull_slopes(pass_ends: Sequence[int], dists: Sequence[float],
         if slopes[p] > slopes[p - 1]:
             slopes[p] = slopes[p - 1]
     return slopes
+
+
+def encode_frames(planes: np.ndarray, levels: int, reversible: bool = True,
+                  delta: float = 0.125, codeblock_size: int = 64,
+                  min_threshold: float = 0.0) -> List[EncodedFrame]:
+    """Encode a stack of component planes (N, H, W) with ONE device DWT
+    call and ONE native batch over all code-blocks of all frames — the
+    production path (per-frame calls pay a device round trip each)."""
+    planes = np.asarray(planes)
+    N = planes.shape[0]
+    packed_all = np.asarray(_dwt_device(jnp.asarray(planes), levels,
+                                        reversible))
+    H, W = planes.shape[1], planes.shape[2]
+    layout = subbands.band_layout(H, W, levels)
+    tiles: List[np.ndarray] = []
+    bands: List[str] = []
+    meta: List[Tuple] = []
+    min_slopes: List[float] = []
+    for n in range(N):
+        packed = packed_all[n]
+        for b in layout:
+            region = packed[b.y0:b.y0 + b.h, b.x0:b.x0 + b.w]
+            if reversible:
+                q = region.astype(np.int64)
+                w = subbands.band_gain(b.band, b.level, True)
+            else:
+                q = np.trunc(region / delta).astype(np.int64)
+                w = subbands.band_gain(b.band, b.level, False) * delta * delta
+            for (ty, tx, th, tw) in subbands.codeblock_tiles(
+                    b.h, b.w, codeblock_size):
+                tiles.append(q[ty:ty + th, tx:tx + tw])
+                bands.append(b.band)
+                meta.append((n, b, ty, tx, th, tw, w))
+                min_slopes.append(min_threshold / w / 8.0
+                                  if min_threshold > 0 else 0.0)
+    encoded = fast.encode_codeblocks_batch(tiles, bands, min_slopes
+                                           if min_threshold > 0 else None)
+    per_frame: List[List[EncodedBlock]] = [[] for _ in range(N)]
+    for cb, (n, b, ty, tx, th, tw, w) in zip(encoded, meta):
+        slopes = _hull_slopes(cb.pass_ends, cb.pass_dist, cb.dist0, w)
+        per_frame[n].append(EncodedBlock(
+            b.key, b.level, b.band, ty, tx, (th, tw), cb.msbs,
+            cb.data, cb.pass_ends, slopes))
+    return [EncodedFrame(H, W, levels, reversible, delta, codeblock_size,
+                         blocks) for blocks in per_frame]
+
+
+def decode_frames(efs: List[EncodedFrame], threshold: float = 0.0,
+                  discard_levels: int = 0) -> np.ndarray:
+    """Decode a stack of same-geometry frames with ONE native batch and
+    ONE device inverse-DWT call; returns (N, H', W')."""
+    if not efs:
+        return np.zeros((0, 0, 0), np.int32)
+    ef0 = efs[0]
+    H, W, levels = ef0.H, ef0.W, ef0.levels
+    layout = subbands.band_layout(H, W, levels)
+    by_key = {}
+    for b in layout:
+        by_key.setdefault(b.key, b)
+    todo = []
+    todo_pos = []
+    for n, ef in enumerate(efs):
+        for blk in ef.blocks:
+            if blk.level <= discard_levels and blk.band != "LL":
+                continue
+            np_ = (blk.num_passes if threshold <= 0
+                   else blk.passes_for_threshold(threshold))
+            todo.append((blk.data, blk.msbs, np_, blk.shape, blk.band,
+                         blk.pass_ends))
+            todo_pos.append((n, blk))
+    decoded = fast.decode_codeblocks_batch(todo)
+    dtype = np.int64 if ef0.reversible else np.float64
+    packed = np.zeros((len(efs), H, W), dtype)
+    for (n, blk), tile in zip(todo_pos, decoded):
+        b = by_key[blk.band_key]
+        if not ef0.reversible:
+            v = tile.astype(np.float64)
+            adj = np.where(v > 0, 0.5, np.where(v < 0, -0.5, 0.0))
+            v = (v + adj) * ef0.delta
+        else:
+            v = tile
+        packed[n, b.y0 + blk.y0:b.y0 + blk.y0 + blk.shape[0],
+               b.x0 + blk.x0:b.x0 + blk.x0 + blk.shape[1]] = v
+    if discard_levels:
+        sizes_y = dwt2d._level_sizes(H, discard_levels)
+        sizes_x = dwt2d._level_sizes(W, discard_levels)
+        rh, rw = sizes_y[-1], sizes_x[-1]
+        sub = packed[:, :rh, :rw]
+        arr = jnp.asarray(sub if ef0.reversible else sub.astype(np.float32))
+        return np.asarray(_idwt_device(arr, levels - discard_levels,
+                                       ef0.reversible))
+    arr = jnp.asarray(packed if ef0.reversible
+                      else packed.astype(np.float32))
+    return np.asarray(_idwt_device(arr, levels, ef0.reversible))
 
 
 def encode_frame(plane: np.ndarray, levels: int, reversible: bool = True,

@@ -74,11 +74,13 @@ def _analyze_level(low: Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray],
             dec.is_B[:, None, None, None])
         upd_prev = jax.vmap(partial(update._update_field,
                                     block_size=block_size,
-                                    update_factor=cfg.update_factor))(
+                                    update_factor=cfg.update_factor,
+                                    search_range=search_range))(
             res444, dec.mv_out[:, 0, 0], dec.mv_out[:, 0, 1])
         upd_next = jax.vmap(partial(update._update_field,
                                     block_size=block_size,
-                                    update_factor=cfg.update_factor))(
+                                    update_factor=cfg.update_factor,
+                                    search_range=search_range))(
             res444, dec.mv_out[:, 1, 0], dec.mv_out[:, 1, 1])
         # phase 1: even[j] += NEXT-update of pair j-1 (update.cpp iteration
         # order; reference[1] updated first), phase 2: even[j] += PREV-update
@@ -111,11 +113,13 @@ def _synthesize_level(low: Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray],
             lev.is_B[:, None, None, None])
         upd_prev = jax.vmap(partial(update._update_field,
                                     block_size=block_size,
-                                    update_factor=cfg.update_factor))(
+                                    update_factor=cfg.update_factor,
+                                    search_range=search_range))(
             res444, lev.mv[:, 0, 0], lev.mv[:, 0, 1])
         upd_next = jax.vmap(partial(update._update_field,
                                     block_size=block_size,
-                                    update_factor=cfg.update_factor))(
+                                    update_factor=cfg.update_factor,
+                                    search_range=search_range))(
             res444, lev.mv[:, 1, 0], lev.mv[:, 1, 1])
         ev444 = low444
         ev444 = ev444.at[1:].set(jax.vmap(partial(update.apply_update, sign=-1))(

@@ -33,36 +33,70 @@ from .predict import mv_to_pixel_map, upsample_chroma, downsample_chroma
 
 def _update_field(residue_444: jnp.ndarray, mv_dir_y: jnp.ndarray,
                   mv_dir_x: jnp.ndarray, block_size: int,
-                  update_factor: float) -> jnp.ndarray:
-    """Accumulated float update for one reference from one residue.
+                  update_factor: float, search_range: int = 128
+                  ) -> jnp.ndarray:
+    """Accumulated integer update for one reference from one residue.
 
     ``residue_444``: (C, H, W) unbiased residue at luma resolution.
-    Returns the (C, H, W) float32 sum of ``residue * update_factor``
-    scattered to motion-compensated (clipped) destinations
-    (update.cpp:88-146).
+    Returns the (C, H, W) int32 sum of ``floor(residue * update_factor)``
+    at motion-compensated destinations (update.cpp:88-146).
+
+    TPU-native formulation: instead of a scatter (HBM-serialized on TPU —
+    and the op that made the naive port 100x slower than the rest of the
+    transform combined), the scatter is inverted into a **gather**: a
+    destination pixel ``p`` receives block ``b``'s contribution iff
+    ``p - mv_b`` lands inside ``b``.  Since vectors are block-constant and
+    bounded by the search range, only block offsets within
+    ``K = ceil(max|mv| / block_size)`` of ``p``'s own block can contribute,
+    so the update is a sum of ``(2K+1)^2`` masked shifted gathers — fully
+    vectorized VPU work.
+
+    Semantics deviations (documented): contributions whose destination
+    falls outside the frame are dropped rather than clipped onto the border
+    (update.cpp piles them on edge pixels); colliding contributions
+    accumulate and clamp once.  Encoder and decoder share this exact
+    function, so the lifting stays mirrored.
+
+    Integer-lifting deviation from update.cpp: the contribution is
+    quantized to floor(residue * factor) BEFORE applying, so encoder and
+    decoder add/subtract the *same* integer and the step is exactly
+    invertible wherever the [0,255] clamp doesn't engage.  The reference
+    truncates after the float add (update.cpp:99-115), which makes its
+    encode +floor(u) but its decode -ceil(u) — a systematic ±1 that we do
+    not reproduce.  For a single in-frame contribution the encoder-side
+    values are bitwise identical to the reference's.
     """
     C, H, W = residue_444.shape
-    mvy = mv_to_pixel_map(mv_dir_y, block_size, H, W)
-    mvx = mv_to_pixel_map(mv_dir_x, block_size, H, W)
-    yy = jnp.arange(H, dtype=jnp.int32)[:, None]
-    xx = jnp.arange(W, dtype=jnp.int32)[None, :]
-    iy = jnp.clip(yy + mvy, 0, H - 1)
-    ix = jnp.clip(xx + mvx, 0, W - 1)
-    # Integer-lifting deviation from update.cpp: the contribution is
-    # quantized to floor(residue * factor) BEFORE applying, so encoder and
-    # decoder add/subtract the *same* integer and the step is exactly
-    # invertible wherever the [0,255] clamp doesn't engage.  The reference
-    # truncates after the float add (update.cpp:99-115), which makes its
-    # encode +floor(u) but its decode -ceil(u) — a systematic ±1 that we do
-    # not reproduce.  For a single contribution the encoder-side values are
-    # bitwise identical to the reference's.
+    By, Bx = mv_dir_y.shape
     contrib = jnp.floor(residue_444.astype(jnp.float32)
                         * jnp.float32(update_factor)).astype(jnp.int32)
+    # vectors are clamped to +-search_range at ME time
+    # (motion_estimate.cpp:321-348), bounding the contributing
+    # block-offset neighbourhood
+    K = -(-int(search_range) // int(block_size))
+    yy = jnp.arange(H, dtype=jnp.int32)[:, None]
+    xx = jnp.arange(W, dtype=jnp.int32)[None, :]
+    pby = yy // block_size           # dest pixel's block row
+    pbx = xx // block_size
     out = jnp.zeros((C, H, W), dtype=jnp.int32)
-    flat = iy * W + ix
-    out = out.reshape(C, H * W).at[:, flat.reshape(-1)].add(
-        contrib.reshape(C, H * W), mode="drop")
-    return out.reshape(C, H, W)
+    for dy in range(-K, K + 1):
+        for dx in range(-K, K + 1):
+            by = pby + dy            # candidate source block
+            bx = pbx + dx
+            in_grid = (by >= 0) & (by < By) & (bx >= 0) & (bx < Bx)
+            byc = jnp.clip(by, 0, By - 1)
+            bxc = jnp.clip(bx, 0, Bx - 1)
+            mvy = mv_dir_y[byc, bxc]
+            mvx = mv_dir_x[byc, bxc]
+            sy = yy - mvy            # source pixel if b contributed to p
+            sx = xx - mvx
+            valid = in_grid & (sy // block_size == by) & \
+                (sx // block_size == bx) & (sy >= 0) & (sy < H) & \
+                (sx >= 0) & (sx < W)
+            syc = jnp.clip(sy, 0, H - 1)
+            sxc = jnp.clip(sx, 0, W - 1)
+            out = out + jnp.where(valid[None], contrib[:, syc, sxc], 0)
+    return out
 
 
 def apply_update(even_444: jnp.ndarray, upd: jnp.ndarray, sign: int

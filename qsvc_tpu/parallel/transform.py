@@ -76,11 +76,13 @@ def _analyze_level_dist(low, block_size, search_range, cfg, axis_name):
             dec.is_B[:, None, None, None])
         upd_prev = jax.vmap(partial(update._update_field,
                                     block_size=block_size,
-                                    update_factor=cfg.update_factor))(
+                                    update_factor=cfg.update_factor,
+                                    search_range=search_range))(
             res444, dec.mv_out[:, 0, 0], dec.mv_out[:, 0, 1])
         upd_next = jax.vmap(partial(update._update_field,
                                     block_size=block_size,
-                                    update_factor=cfg.update_factor))(
+                                    update_factor=cfg.update_factor,
+                                    search_range=search_range))(
             res444, dec.mv_out[:, 1, 0], dec.mv_out[:, 1, 1])
         ev444 = evens444
         # phase 1: NEXT updates (evens 1..k locally)
@@ -123,11 +125,13 @@ def _synthesize_level_dist(low, lev: LevelData, block_size, search_range,
             lev.is_B[:, None, None, None])
         upd_prev = jax.vmap(partial(update._update_field,
                                     block_size=block_size,
-                                    update_factor=cfg.update_factor))(
+                                    update_factor=cfg.update_factor,
+                                    search_range=search_range))(
             res444, lev.mv[:, 0, 0], lev.mv[:, 0, 1])
         upd_next = jax.vmap(partial(update._update_field,
                                     block_size=block_size,
-                                    update_factor=cfg.update_factor))(
+                                    update_factor=cfg.update_factor,
+                                    search_range=search_range))(
             res444, lev.mv[:, 1, 0], lev.mv[:, 1, 1])
         ev444 = low444
         ev444 = ev444.at[1:].set(jax.vmap(partial(update.apply_update,
