@@ -107,9 +107,9 @@ def compress(video: Video, cfg: CodecConfig, reversible: bool = True,
                             delta, cb, thr(0))
     low = trunc(low, 0)
 
-    mv_fields = [np.asarray(lev.mv) for lev in stream.levels]
-    residues = motion_coding.decorrelate(
-        [jnp.asarray(f) for f in mv_fields]) if mv_fields else []
+    mv_fields = [lev.mv for lev in stream.levels]
+    residues = (jax.device_get(motion_coding.decorrelate_jit(mv_fields))
+                if mv_fields else [])
 
     levels: List[LevelSection] = []
     for t, lev in enumerate(stream.levels, start=1):
@@ -153,7 +153,7 @@ def expand(vs: VideoStream, threshold: float = 0.0,
     # reconstruct motion fields (inverse inter-level/bidirectional coding)
     residue_fields = [jnp.asarray(d[3]) for d in lev_data if d[3] is not None]
     if residue_fields:
-        mv_fields = motion_coding.correlate(residue_fields)
+        mv_fields = motion_coding.correlate_jit(residue_fields)
     else:
         mv_fields = []
 

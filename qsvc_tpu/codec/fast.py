@@ -183,6 +183,124 @@ def encode_codeblocks_batch(tiles: Sequence[np.ndarray],
     return res
 
 
+def encode_packed_planes(planes: np.ndarray,
+                         tiles_meta: Sequence[Tuple[int, int, int, int, int]],
+                         bands: Sequence[str],
+                         min_slopes: Optional[Sequence[float]] = None
+                         ) -> List[CodeblockStream]:
+    """Encode code-blocks directly out of a packed (N, H, W) int16/int32
+    DWT-plane stack — zero per-tile copies.
+
+    ``tiles_meta``: per block (frame_idx, y0_abs, x0_abs, h, w) where the
+    coordinates are absolute within the packed plane.
+    """
+    lib = _load()
+    nb = len(tiles_meta)
+    if nb == 0:
+        return []
+    planes = np.ascontiguousarray(planes)
+    N, H, W = planes.shape
+    if not lib or planes.dtype not in (np.int16, np.int32):
+        tiles = [planes[n, y0:y0 + th, x0:x0 + tw].astype(np.int64)
+                 for (n, y0, x0, th, tw) in tiles_meta]
+        return encode_codeblocks_batch(tiles, bands, min_slopes)
+    offsets = np.asarray([(n * H + y0) * W + x0
+                          for (n, y0, x0, _, _) in tiles_meta], np.int64)
+    hs = np.asarray([t[3] for t in tiles_meta], np.int32)
+    ws = np.asarray([t[4] for t in tiles_meta], np.int32)
+    bc = np.asarray([_BAND_CODE[b] for b in bands], np.int32)
+    max_sz = int((hs.astype(np.int64) * ws.astype(np.int64)).max())
+    out_stride = max(4 * max_sz * 8, 1 << 14)
+    out = np.empty((nb, out_stride), np.uint8)
+    out_lens = np.zeros(nb, np.int32)
+    msbs = np.zeros(nb, np.int32)
+    npass = np.zeros(nb, np.int32)
+    ends = np.zeros((nb, _MAX_PASSES), np.int32)
+    dist = np.zeros((nb, _MAX_PASSES), np.float64)
+    dist0 = np.zeros(nb, np.float64)
+    if min_slopes is not None:
+        ms = np.ascontiguousarray(min_slopes, np.float64)
+        ms_ptr = ms.ctypes.data_as(ctypes.c_void_p)
+    else:
+        ms_ptr = None
+    fn = (lib.qsvc_encode_blocks_s16 if planes.dtype == np.int16
+          else lib.qsvc_encode_blocks_s32)
+    fn(planes.ctypes.data_as(ctypes.c_void_p),
+       offsets.ctypes.data_as(ctypes.c_void_p), W,
+       hs.ctypes.data_as(ctypes.c_void_p),
+       ws.ctypes.data_as(ctypes.c_void_p),
+       bc.ctypes.data_as(ctypes.c_void_p), nb,
+       out.ctypes.data_as(ctypes.c_void_p), out_stride,
+       out_lens.ctypes.data_as(ctypes.c_void_p),
+       msbs.ctypes.data_as(ctypes.c_void_p),
+       npass.ctypes.data_as(ctypes.c_void_p),
+       ends.ctypes.data_as(ctypes.c_void_p), _MAX_PASSES,
+       dist.ctypes.data_as(ctypes.c_void_p),
+       dist0.ctypes.data_as(ctypes.c_void_p),
+       ms_ptr)
+    res = []
+    for i in range(nb):
+        n = int(npass[i])
+        res.append(CodeblockStream(
+            bytes(out[i, :out_lens[i]]), int(msbs[i]),
+            ends[i, :n].tolist(), dist[i, :n].tolist(),
+            float(dist0[i]), (int(hs[i]), int(ws[i])), bands[i]))
+    return res
+
+
+def decode_packed_planes(blocks, positions, out: np.ndarray) -> None:
+    """Batch-decode code-blocks directly INTO a packed (N, H, W) int32
+    plane stack.
+
+    ``blocks``: (data, msbs, num_passes, shape, band, pass_ends) tuples;
+    ``positions``: per block (frame_idx, y0_abs, x0_abs).
+    """
+    lib = _load()
+    N, H, W = out.shape
+    if not lib or out.dtype != np.int32:
+        tiles = decode_codeblocks_batch(blocks)
+        for (n, y0, x0), b, tile in zip(positions, blocks, tiles):
+            th, tw = b[3]
+            out[n, y0:y0 + th, x0:x0 + tw] = tile
+        return
+    nb = len(blocks)
+    if nb == 0:
+        return
+    datas = [b[0] for b in blocks]
+    lens = np.asarray([len(d) for d in datas], np.int64)
+    data_off = np.zeros(nb, np.int64)
+    np.cumsum(lens[:-1], out=data_off[1:])
+    flat = (np.frombuffer(b"".join(datas), np.uint8)
+            if any(lens) else np.zeros(1, np.uint8))
+    msbs = np.asarray([b[1] for b in blocks], np.int32)
+    npass = np.asarray([b[2] for b in blocks], np.int32)
+    hs = np.asarray([b[3][0] for b in blocks], np.int32)
+    ws = np.asarray([b[3][1] for b in blocks], np.int32)
+    bc = np.asarray([_BAND_CODE[b[4]] for b in blocks], np.int32)
+    ends = np.zeros((nb, _MAX_PASSES), np.int32)
+    n_ends = np.zeros(nb, np.int32)
+    for i, b in enumerate(blocks):
+        pe = b[5] or [len(datas[i])]
+        n_ends[i] = len(pe)
+        ends[i, :len(pe)] = pe
+    out_off = np.asarray([(n * H + y0) * W + x0
+                          for (n, y0, x0) in positions], np.int64)
+    lens32 = lens.astype(np.int32)
+    lib.qsvc_decode_blocks_s32(
+        flat.ctypes.data_as(ctypes.c_void_p),
+        data_off.ctypes.data_as(ctypes.c_void_p),
+        lens32.ctypes.data_as(ctypes.c_void_p),
+        msbs.ctypes.data_as(ctypes.c_void_p),
+        npass.ctypes.data_as(ctypes.c_void_p),
+        ends.ctypes.data_as(ctypes.c_void_p),
+        n_ends.ctypes.data_as(ctypes.c_void_p), _MAX_PASSES,
+        hs.ctypes.data_as(ctypes.c_void_p),
+        ws.ctypes.data_as(ctypes.c_void_p),
+        bc.ctypes.data_as(ctypes.c_void_p), nb,
+        out.ctypes.data_as(ctypes.c_void_p),
+        out_off.ctypes.data_as(ctypes.c_void_p), W)
+
+
 def decode_codeblocks_batch(blocks) -> List[np.ndarray]:
     """Batch decode of (data, msbs, num_passes, shape, band, pass_ends)
     tuples with OpenMP."""

@@ -115,6 +115,43 @@ def _dwt_device(plane: jnp.ndarray, levels: int, reversible: bool):
 
 
 @partial(jax.jit, static_argnames=("levels", "reversible"))
+def _dwt_quant16(plane: jnp.ndarray, levels: int, reversible: bool,
+                 delta: jnp.ndarray):
+    """Forward DWT + quantization fused on device, int16 output (halves the
+    host transfer) plus an overflow flag for the rare int16-exceeding case."""
+    if reversible:
+        q = dwt2d.analyze(plane.astype(jnp.int32) - 128, levels, "5/3")
+    else:
+        c = dwt2d.analyze(plane.astype(jnp.float32) - 128.0, levels, "9/7")
+        q = jnp.trunc(c / delta).astype(jnp.int32)
+    q16 = q.astype(jnp.int16)
+    overflow = jnp.any(q16.astype(jnp.int32) != q)
+    return q16, overflow
+
+
+@partial(jax.jit, static_argnames=("levels", "reversible"))
+def _dwt_quant32(plane: jnp.ndarray, levels: int, reversible: bool,
+                 delta: jnp.ndarray):
+    if reversible:
+        return dwt2d.analyze(plane.astype(jnp.int32) - 128, levels, "5/3")
+    c = dwt2d.analyze(plane.astype(jnp.float32) - 128.0, levels, "9/7")
+    return jnp.trunc(c / delta).astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("levels", "reversible"))
+def _dequant_idwt(q: jnp.ndarray, levels: int, reversible: bool,
+                  delta: jnp.ndarray):
+    """Dequantization + inverse DWT fused on device."""
+    if reversible:
+        rec = dwt2d.synthesize(q.astype(jnp.int32), levels, "5/3") + 128
+        return jnp.clip(rec, 0, 255).astype(jnp.int32)
+    v = q.astype(jnp.float32)
+    v = (v + jnp.where(v > 0, 0.5, jnp.where(v < 0, -0.5, 0.0))) * delta
+    rec = dwt2d.synthesize(v, levels, "9/7") + 128.0
+    return jnp.clip(jnp.round(rec), 0, 255).astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("levels", "reversible"))
 def _idwt_device(packed: jnp.ndarray, levels: int, reversible: bool):
     if reversible:
         rec = dwt2d.synthesize(packed, levels, "5/3") + 128
@@ -172,41 +209,56 @@ def _hull_slopes(pass_ends: Sequence[int], dists: Sequence[float],
     return slopes
 
 
+#: per-(H, W, levels, codeblock) tile template: (band, ty, tx, th, tw,
+#: gain_rev, gain_irr) for one frame in layout order.
+_TEMPLATE_CACHE: Dict[Tuple[int, int, int, int], List[Tuple]] = {}
+
+
+def _tile_template(H: int, W: int, levels: int, cb: int) -> List[Tuple]:
+    key = (H, W, levels, cb)
+    tpl = _TEMPLATE_CACHE.get(key)
+    if tpl is None:
+        tpl = []
+        for b in subbands.band_layout(H, W, levels):
+            g_rev = subbands.band_gain(b.band, b.level, True)
+            g_irr = subbands.band_gain(b.band, b.level, False)
+            for (ty, tx, th, tw) in subbands.codeblock_tiles(b.h, b.w, cb):
+                tpl.append((b, ty, tx, th, tw, g_rev, g_irr))
+        _TEMPLATE_CACHE[key] = tpl
+    return tpl
+
+
 def encode_frames(planes: np.ndarray, levels: int, reversible: bool = True,
                   delta: float = 0.125, codeblock_size: int = 64,
                   min_threshold: float = 0.0) -> List[EncodedFrame]:
-    """Encode a stack of component planes (N, H, W) with ONE device DWT
-    call and ONE native batch over all code-blocks of all frames — the
-    production path (per-frame calls pay a device round trip each)."""
+    """Encode a stack of component planes (N, H, W): ONE fused device
+    DWT+quantize call (int16 transfer), ONE native strided batch over all
+    code-blocks of all frames — the production path."""
     planes = np.asarray(planes)
-    N = planes.shape[0]
-    packed_all = np.asarray(_dwt_device(jnp.asarray(planes), levels,
-                                        reversible))
-    H, W = planes.shape[1], planes.shape[2]
-    layout = subbands.band_layout(H, W, levels)
-    tiles: List[np.ndarray] = []
+    N, H, W = planes.shape
+    d = jnp.float32(delta)
+    q16, ovf = _dwt_quant16(jnp.asarray(planes), levels, reversible, d)
+    if bool(ovf):
+        packed_all = np.asarray(_dwt_quant32(jnp.asarray(planes), levels,
+                                             reversible, d))
+    else:
+        packed_all = np.asarray(q16)
+    tpl = _tile_template(H, W, levels, codeblock_size)
+    tiles_meta: List[Tuple] = []
     bands: List[str] = []
     meta: List[Tuple] = []
     min_slopes: List[float] = []
     for n in range(N):
-        packed = packed_all[n]
-        for b in layout:
-            region = packed[b.y0:b.y0 + b.h, b.x0:b.x0 + b.w]
-            if reversible:
-                q = region.astype(np.int64)
-                w = subbands.band_gain(b.band, b.level, True)
-            else:
-                q = np.trunc(region / delta).astype(np.int64)
-                w = subbands.band_gain(b.band, b.level, False) * delta * delta
-            for (ty, tx, th, tw) in subbands.codeblock_tiles(
-                    b.h, b.w, codeblock_size):
-                tiles.append(q[ty:ty + th, tx:tx + tw])
-                bands.append(b.band)
-                meta.append((n, b, ty, tx, th, tw, w))
-                min_slopes.append(min_threshold / w / 8.0
-                                  if min_threshold > 0 else 0.0)
-    encoded = fast.encode_codeblocks_batch(tiles, bands, min_slopes
-                                           if min_threshold > 0 else None)
+        for (b, ty, tx, th, tw, g_rev, g_irr) in tpl:
+            w = g_rev if reversible else g_irr * delta * delta
+            tiles_meta.append((n, b.y0 + ty, b.x0 + tx, th, tw))
+            bands.append(b.band)
+            meta.append((n, b, ty, tx, th, tw, w))
+            min_slopes.append(min_threshold / w / 8.0
+                              if min_threshold > 0 else 0.0)
+    encoded = fast.encode_packed_planes(packed_all, tiles_meta, bands,
+                                        min_slopes if min_threshold > 0
+                                        else None)
     per_frame: List[List[EncodedBlock]] = [[] for _ in range(N)]
     for cb, (n, b, ty, tx, th, tw, w) in zip(encoded, meta):
         slopes = _hull_slopes(cb.pass_ends, cb.pass_dist, cb.dist0, w)
@@ -219,8 +271,8 @@ def encode_frames(planes: np.ndarray, levels: int, reversible: bool = True,
 
 def decode_frames(efs: List[EncodedFrame], threshold: float = 0.0,
                   discard_levels: int = 0) -> np.ndarray:
-    """Decode a stack of same-geometry frames with ONE native batch and
-    ONE device inverse-DWT call; returns (N, H', W')."""
+    """Decode a stack of same-geometry frames with ONE native strided batch
+    and ONE fused device dequantize+inverse-DWT call; returns (N, H', W')."""
     if not efs:
         return np.zeros((0, 0, 0), np.int32)
     ef0 = efs[0]
@@ -230,7 +282,7 @@ def decode_frames(efs: List[EncodedFrame], threshold: float = 0.0,
     for b in layout:
         by_key.setdefault(b.key, b)
     todo = []
-    todo_pos = []
+    positions = []
     for n, ef in enumerate(efs):
         for blk in ef.blocks:
             if blk.level <= discard_levels and blk.band != "LL":
@@ -239,31 +291,28 @@ def decode_frames(efs: List[EncodedFrame], threshold: float = 0.0,
                    else blk.passes_for_threshold(threshold))
             todo.append((blk.data, blk.msbs, np_, blk.shape, blk.band,
                          blk.pass_ends))
-            todo_pos.append((n, blk))
-    decoded = fast.decode_codeblocks_batch(todo)
-    dtype = np.int64 if ef0.reversible else np.float64
-    packed = np.zeros((len(efs), H, W), dtype)
-    for (n, blk), tile in zip(todo_pos, decoded):
-        b = by_key[blk.band_key]
-        if not ef0.reversible:
-            v = tile.astype(np.float64)
-            adj = np.where(v > 0, 0.5, np.where(v < 0, -0.5, 0.0))
-            v = (v + adj) * ef0.delta
-        else:
-            v = tile
-        packed[n, b.y0 + blk.y0:b.y0 + blk.y0 + blk.shape[0],
-               b.x0 + blk.x0:b.x0 + blk.x0 + blk.shape[1]] = v
+            b = by_key[blk.band_key]
+            positions.append((n, b.y0 + blk.y0, b.x0 + blk.x0))
+    packed = np.zeros((len(efs), H, W), np.int32)
+    fast.decode_packed_planes(todo, positions, packed)
+    d = jnp.float32(ef0.delta)
     if discard_levels:
         sizes_y = dwt2d._level_sizes(H, discard_levels)
         sizes_x = dwt2d._level_sizes(W, discard_levels)
-        rh, rw = sizes_y[-1], sizes_x[-1]
-        sub = packed[:, :rh, :rw]
-        arr = jnp.asarray(sub if ef0.reversible else sub.astype(np.float32))
-        return np.asarray(_idwt_device(arr, levels - discard_levels,
-                                       ef0.reversible))
-    arr = jnp.asarray(packed if ef0.reversible
-                      else packed.astype(np.float32))
-    return np.asarray(_idwt_device(arr, levels, ef0.reversible))
+        sub = packed[:, :sizes_y[-1], :sizes_x[-1]]
+        return np.asarray(_dequant_idwt(_to_device_small(sub),
+                                        levels - discard_levels,
+                                        ef0.reversible, d))
+    return np.asarray(_dequant_idwt(_to_device_small(packed), levels,
+                                    ef0.reversible, d))
+
+
+def _to_device_small(packed: np.ndarray) -> jnp.ndarray:
+    """Upload int16 when values fit (halves the host->device transfer)."""
+    p16 = packed.astype(np.int16)
+    if np.array_equal(p16, packed):
+        return jnp.asarray(p16)
+    return jnp.asarray(packed)
 
 
 def encode_frame(plane: np.ndarray, levels: int, reversible: bool = True,
@@ -275,40 +324,8 @@ def encode_frame(plane: np.ndarray, levels: int, reversible: bool = True,
     slope falls well below it are never coded (they cannot survive
     truncation at that threshold), which skips most deep bit-planes at
     lossy operating points."""
-    H, W = plane.shape
-    packed = np.asarray(_dwt_device(jnp.asarray(plane), levels, reversible))
-    layout = subbands.band_layout(H, W, levels)
-    tiles: List[np.ndarray] = []
-    bands: List[str] = []
-    meta: List[Tuple] = []
-    min_slopes: List[float] = []
-    for b in layout:
-        region = packed[b.y0:b.y0 + b.h, b.x0:b.x0 + b.w]
-        if reversible:
-            q = region.astype(np.int64)
-            w = subbands.band_gain(b.band, b.level, True)
-        else:
-            q = np.trunc(region / delta).astype(np.int64)   # deadzone
-            w = subbands.band_gain(b.band, b.level, False) * delta * delta
-        for (ty, tx, th, tw) in subbands.codeblock_tiles(b.h, b.w,
-                                                         codeblock_size):
-            tiles.append(q[ty:ty + th, tx:tx + tw])
-            bands.append(b.band)
-            meta.append((b, ty, tx, th, tw, w))
-            # /8 margin: early stop only after the slope is far below the
-            # truncation point, so hull non-convexities are not cut short
-            min_slopes.append(min_threshold / w / 8.0
-                              if min_threshold > 0 else 0.0)
-    encoded = fast.encode_codeblocks_batch(tiles, bands, min_slopes
-                                           if min_threshold > 0 else None)
-    blocks: List[EncodedBlock] = []
-    for cb, (b, ty, tx, th, tw, w) in zip(encoded, meta):
-        slopes = _hull_slopes(cb.pass_ends, cb.pass_dist, cb.dist0, w)
-        blocks.append(EncodedBlock(
-            b.key, b.level, b.band, ty, tx, (th, tw), cb.msbs,
-            cb.data, cb.pass_ends, slopes))
-    return EncodedFrame(H, W, levels, reversible, delta, codeblock_size,
-                        blocks)
+    return encode_frames(np.asarray(plane)[None], levels, reversible, delta,
+                         codeblock_size, min_threshold)[0]
 
 
 def decode_frame(ef: EncodedFrame,
@@ -321,42 +338,4 @@ def decode_frame(ef: EncodedFrame,
     With ``discard_levels = d`` the returned plane has the dimensions of the
     d-times-reduced image (the LL_d band geometry).
     """
-    layout = subbands.band_layout(ef.H, ef.W, ef.levels)
-    H, W = ef.H, ef.W
-    dtype = np.int64 if ef.reversible else np.float64
-    packed = np.zeros((H, W), dtype)
-    by_key = {}
-    for b in layout:
-        by_key.setdefault(b.key, b)
-    todo = []
-    todo_blk = []
-    for blk in ef.blocks:
-        if blk.level <= discard_levels and blk.band != "LL":
-            continue
-        n = (blk.num_passes if threshold <= 0
-             else blk.passes_for_threshold(threshold))
-        todo.append((blk.data, blk.msbs, n, blk.shape, blk.band,
-                     blk.pass_ends))
-        todo_blk.append(blk)
-    decoded = fast.decode_codeblocks_batch(todo)
-    for blk, tile in zip(todo_blk, decoded):
-        b = by_key[blk.band_key]
-        if not ef.reversible:
-            v = tile.astype(np.float64)
-            adj = np.where(v > 0, 0.5, np.where(v < 0, -0.5, 0.0))
-            v = (v + adj) * ef.delta
-        else:
-            v = tile
-        packed[b.y0 + blk.y0:b.y0 + blk.y0 + blk.shape[0],
-               b.x0 + blk.x0:b.x0 + blk.x0 + blk.shape[1]] = v
-    if discard_levels:
-        # reduced-resolution decode: synthesize only the coarser levels
-        sizes_y = dwt2d._level_sizes(H, discard_levels)
-        sizes_x = dwt2d._level_sizes(W, discard_levels)
-        rh, rw = sizes_y[-1], sizes_x[-1]
-        sub = packed[:rh, :rw]
-        arr = jnp.asarray(sub if ef.reversible else sub.astype(np.float32))
-        out = _idwt_device(arr, ef.levels - discard_levels, ef.reversible)
-        return np.asarray(out)
-    arr = jnp.asarray(packed if ef.reversible else packed.astype(np.float32))
-    return np.asarray(_idwt_device(arr, ef.levels, ef.reversible))
+    return decode_frames([ef], threshold, discard_levels)[0]

@@ -76,3 +76,10 @@ def correlate(residues: Sequence[jnp.ndarray]) -> List[jnp.ndarray]:
         ref = _expand_to(ref, By, Bx)
         fields[t] = res + tdiv(ref, 2)
     return fields
+
+
+# Jitted entry points: motion fields are small, but eagerly dispatching the
+# individual ops above costs one device round trip each (severe on a
+# tunneled TPU); one jitted call per level-list shape amortizes everything.
+decorrelate_jit = jax.jit(decorrelate)
+correlate_jit = jax.jit(correlate)

@@ -20,7 +20,10 @@ def test_encode_parity(band, shape, scale, rng):
     assert cc.msbs == py.msbs
     assert cc.pass_ends == py.pass_ends
     assert cc.data == py.data
-    np.testing.assert_allclose(cc.pass_dist, py.pass_dist, rtol=1e-12)
+    # native tracks distortion incrementally (per coding event); float
+    # summation order differs from the Python rescan, so allow rounding
+    np.testing.assert_allclose(cc.pass_dist, py.pass_dist, rtol=1e-9,
+                               atol=1e-6)
     assert cc.dist0 == pytest.approx(py.dist0)
 
 
