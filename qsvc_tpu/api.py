@@ -11,6 +11,7 @@ arrays instead of files.
 from __future__ import annotations
 
 import math
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass
 from typing import Dict, List, Optional, Tuple
 
@@ -29,16 +30,17 @@ from .codec.frame_codec import slope_to_threshold
 
 def _encode_plane_set(y: np.ndarray, u: np.ndarray, v: np.ndarray,
                       levels: int, reversible: bool, delta: float,
-                      codeblock: int, min_threshold: float = 0.0
+                      codeblock: int, min_threshold: float = 0.0,
+                      coder: str = "mq"
                       ) -> List[Dict[str, frame_codec.EncodedFrame]]:
     """Batched per-component encode: one device DWT + one native EBCOT
     batch per component stack."""
     ey = frame_codec.encode_frames(y, levels, reversible, delta, codeblock,
-                                   min_threshold)
+                                   min_threshold, coder)
     eu = frame_codec.encode_frames(u, levels, reversible, delta, codeblock,
-                                   min_threshold)
+                                   min_threshold, coder)
     ev = frame_codec.encode_frames(v, levels, reversible, delta, codeblock,
-                                   min_threshold)
+                                   min_threshold, coder)
     return [{"y": a, "u": b, "v": c} for a, b, c in zip(ey, eu, ev)]
 
 
@@ -79,6 +81,8 @@ def compress(video: Video, cfg: CodecConfig, reversible: bool = True,
             delta = float(np.clip(math.sqrt(t) / 8.0, 0.125, 8.0))
         else:
             delta = 0.125
+    from .codec import fast as _fast
+    coder = cfg.texture_coder if _fast.available() else "mq"
     y = jnp.asarray(np.asarray(video.y, np.int32))
     u = jnp.asarray(np.asarray(video.u, np.int32))
     v = jnp.asarray(np.asarray(video.v, np.int32))
@@ -102,23 +106,41 @@ def compress(video: Video, cfg: CodecConfig, reversible: bool = True,
             return frames
         return [{c: ef.truncate(t) for c, ef in fr.items()} for fr in frames]
 
-    low = _encode_plane_set(np.asarray(stream.low_y), np.asarray(stream.low_u),
-                            np.asarray(stream.low_v), srl_levels, reversible,
-                            delta, cb, thr(0))
-    low = trunc(low, 0)
+    # Pipelined texture encode: dispatch every component stack's device
+    # DWT+quantize first (device work overlaps), then drain the int16
+    # transfers on this thread while a worker runs the native entropy
+    # coder on already-fetched stacks (ctypes releases the GIL).
+    stacks = [(stream.low_y, thr(0)), (stream.low_u, thr(0)),
+              (stream.low_v, thr(0))]
+    for t, lev in enumerate(stream.levels, start=1):
+        mt = thr(cfg.TRLs - t)
+        stacks += [(lev.high_y, mt), (lev.high_u, mt), (lev.high_v, mt)]
+    pendings = [frame_codec.encode_frames_dispatch(p, srl_levels, reversible,
+                                                   delta)
+                for (p, _) in stacks]
 
     mv_fields = [lev.mv for lev in stream.levels]
     residues = (jax.device_get(motion_coding.decorrelate_jit(mv_fields))
                 if mv_fields else [])
 
+    with ThreadPoolExecutor(max_workers=1) as ex:
+        futs = []
+        for pend, (_, mt) in zip(pendings, stacks):
+            packed = frame_codec.encode_frames_fetch(pend)
+            futs.append(ex.submit(frame_codec.encode_frames_host, packed,
+                                  srl_levels, reversible, delta, cb, mt,
+                                  coder))
+        encoded = [f.result() for f in futs]
+
+    def plane_set(idx):
+        return [{"y": a, "u": b, "v": c} for a, b, c in
+                zip(encoded[idx], encoded[idx + 1], encoded[idx + 2])]
+
+    low = trunc(plane_set(0), 0)
+
     levels: List[LevelSection] = []
     for t, lev in enumerate(stream.levels, start=1):
-        high = _encode_plane_set(np.asarray(lev.high_y),
-                                 np.asarray(lev.high_u),
-                                 np.asarray(lev.high_v),
-                                 srl_levels, reversible, delta, cb,
-                                 thr(cfg.TRLs - t))
-        high = trunc(high, cfg.TRLs - t)
+        high = trunc(plane_set(3 * t), cfg.TRLs - t)
         res = np.asarray(residues[t - 1])
         motion = [codestream.encode_motion_field(res[i])
                   for i in range(res.shape[0])]

@@ -33,6 +33,9 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--quantization_step", type=float, default=0)
     p.add_argument("--nLayers", type=int, default=5)
     p.add_argument("--FPS", type=float, default=30.0)
+    p.add_argument("--texture_coder", default="bp", choices=["bp", "mq"],
+                   help="entropy coder: bp (bit-parallel, fast) or mq "
+                        "(spec-style MQ, maximum compaction)")
 
 
 def _cfg(args) -> CodecConfig:
@@ -45,7 +48,7 @@ def _cfg(args) -> CodecConfig:
         update_factor=args.update_factor, always_B=bool(args.always_B),
         quantization_texture=args.quantization_texture,
         quantization_step=args.quantization_step, nLayers=args.nLayers,
-        FPS=args.FPS)
+        FPS=args.FPS, texture_coder=args.texture_coder)
 
 
 def main(argv=None) -> int:

@@ -41,7 +41,9 @@ from .frame_codec import EncodedBlock, EncodedFrame, slope_to_threshold, \
     threshold_to_slope
 
 MAGIC = b"QSVC"
-VERSION = 1
+VERSION = 2          # v2: per-frame entropy-coder id ("mq" | "bp")
+
+_CODERS = ["mq", "bp"]
 
 
 # ---------------------------------------------------------------- helpers
@@ -96,9 +98,10 @@ def _slope_u16(s: float) -> int:
 # ------------------------------------------------- encoded frame (de)ser
 
 def _write_frame(out: bytearray, ef: EncodedFrame) -> None:
-    out += struct.pack("<HHBBf B", ef.H, ef.W, ef.levels,
+    out += struct.pack("<HHBBf BB", ef.H, ef.W, ef.levels,
                        1 if ef.reversible else 0, ef.delta,
-                       min(ef.codeblock_size, 255))
+                       min(ef.codeblock_size, 255),
+                       _CODERS.index(ef.coder))
     _wvarint(out, len(ef.blocks))
     for b in ef.blocks:
         out += struct.pack("<HHHHB", b.y0, b.x0, b.shape[0], b.shape[1],
@@ -130,7 +133,7 @@ def _band_key(code: int) -> Tuple[str, int, str]:
 
 
 def _read_frame(r: _Reader) -> EncodedFrame:
-    H, W, levels, rev, delta, cbs = r.struct("<HHBBf B")
+    H, W, levels, rev, delta, cbs, coder = r.struct("<HHBBf BB")
     nblocks = r.varint()
     blocks: List[EncodedBlock] = []
     for _ in range(nblocks):
@@ -149,7 +152,8 @@ def _read_frame(r: _Reader) -> EncodedFrame:
         data = bytes(r.bytes_(dlen))
         blocks.append(EncodedBlock(key, level, band, y0, x0, (sh, sw),
                                    msbs, data, ends, slopes))
-    return EncodedFrame(H, W, levels, bool(rev), delta, cbs, blocks)
+    return EncodedFrame(H, W, levels, bool(rev), delta, cbs, blocks,
+                        _CODERS[coder])
 
 
 # ------------------------------------------------- motion (de)serialization

@@ -45,14 +45,16 @@ def _build() -> Optional[str]:
     if (os.path.exists(so)
             and os.path.getmtime(so) >= os.path.getmtime(src)):
         return so
-    cmd = ["g++", "-O3", "-fopenmp", "-shared", "-fPIC", src, "-o", so]
-    try:
-        subprocess.run(cmd, check=True, capture_output=True, timeout=300)
-        return so
-    except Exception as e:  # toolchain missing / compile error -> fallback
-        global _build_error
-        _build_error = f"{type(e).__name__}: {e}"
-        return None
+    base = ["g++", "-O3", "-fopenmp", "-shared", "-fPIC", src, "-o", so]
+    for extra in (["-mbmi2"], []):   # BMI2 PEXT/PDEP fast path if available
+        try:
+            subprocess.run(base[:2] + extra + base[2:], check=True,
+                           capture_output=True, timeout=300)
+            return so
+        except Exception as e:  # toolchain missing / compile error
+            global _build_error
+            _build_error = f"{type(e).__name__}: {e}"
+    return None
 
 
 def _load():
@@ -146,7 +148,8 @@ def encode_codeblocks_batch(tiles: Sequence[np.ndarray],
     hs = np.asarray([t.shape[0] for t in tiles], np.int32)
     ws = np.asarray([t.shape[1] for t in tiles], np.int32)
     bc = np.asarray([_BAND_CODE[b] for b in bands], np.int32)
-    out_stride = max(4 * int(max(sizes)) * 8, 1 << 14)
+    # int64 path may carry deep magnitudes (motion residues): keep 16x
+    out_stride = max(16 * int(max(sizes)), 1 << 13)
     out = np.empty((nb, out_stride), np.uint8)
     out_lens = np.zeros(nb, np.int32)
     msbs = np.zeros(nb, np.int32)
@@ -175,6 +178,9 @@ def encode_codeblocks_batch(tiles: Sequence[np.ndarray],
         ms_ptr)
     res = []
     for i in range(nb):
+        if out_lens[i] < 0:   # cap exceeded: redo solo with a large buffer
+            res.append(encode_codeblock(tiles[i].astype(np.int64), bands[i]))
+            continue
         n = int(npass[i])
         res.append(CodeblockStream(
             bytes(out[i, :out_lens[i]]), int(msbs[i]),
@@ -186,13 +192,15 @@ def encode_codeblocks_batch(tiles: Sequence[np.ndarray],
 def encode_packed_planes(planes: np.ndarray,
                          tiles_meta: Sequence[Tuple[int, int, int, int, int]],
                          bands: Sequence[str],
-                         min_slopes: Optional[Sequence[float]] = None
-                         ) -> List[CodeblockStream]:
+                         min_slopes: Optional[Sequence[float]] = None,
+                         coder: str = "mq") -> List[CodeblockStream]:
     """Encode code-blocks directly out of a packed (N, H, W) int16/int32
     DWT-plane stack — zero per-tile copies.
 
     ``tiles_meta``: per block (frame_idx, y0_abs, x0_abs, h, w) where the
     coordinates are absolute within the packed plane.
+    ``coder``: "mq" (spec-style context-adaptive MQ) or "bp" (bit-parallel
+    throughput mode; requires the native library).
     """
     lib = _load()
     nb = len(tiles_meta)
@@ -200,9 +208,14 @@ def encode_packed_planes(planes: np.ndarray,
         return []
     planes = np.ascontiguousarray(planes)
     N, H, W = planes.shape
+    if coder == "bp" and not lib:
+        raise RuntimeError("bp coder requires the native library: "
+                           f"{_build_error}")
     if not lib or planes.dtype not in (np.int16, np.int32):
         tiles = [planes[n, y0:y0 + th, x0:x0 + tw].astype(np.int64)
                  for (n, y0, x0, th, tw) in tiles_meta]
+        if coder == "bp":
+            return _bp_encode_tiles(tiles, min_slopes)
         return encode_codeblocks_batch(tiles, bands, min_slopes)
     offsets = np.asarray([(n * H + y0) * W + x0
                           for (n, y0, x0, _, _) in tiles_meta], np.int64)
@@ -210,7 +223,10 @@ def encode_packed_planes(planes: np.ndarray,
     ws = np.asarray([t[4] for t in tiles_meta], np.int32)
     bc = np.asarray([_BAND_CODE[b] for b in bands], np.int32)
     max_sz = int((hs.astype(np.int64) * ws.astype(np.int64)).max())
-    out_stride = max(4 * max_sz * 8, 1 << 14)
+    # worst case ~2 bits/coef/plane + per-pass padding; 8x coefficient
+    # count (=64 bits/coef) is unreachable, and keeping the buffer small
+    # matters: a huge np.empty costs page faults on first write
+    out_stride = max(8 * max_sz, 1 << 13)
     out = np.empty((nb, out_stride), np.uint8)
     out_lens = np.zeros(nb, np.int32)
     msbs = np.zeros(nb, np.int32)
@@ -223,8 +239,12 @@ def encode_packed_planes(planes: np.ndarray,
         ms_ptr = ms.ctypes.data_as(ctypes.c_void_p)
     else:
         ms_ptr = None
-    fn = (lib.qsvc_encode_blocks_s16 if planes.dtype == np.int16
-          else lib.qsvc_encode_blocks_s32)
+    if coder == "bp":
+        fn = (lib.qsvc_bp_encode_blocks_s16 if planes.dtype == np.int16
+              else lib.qsvc_bp_encode_blocks_s32)
+    else:
+        fn = (lib.qsvc_encode_blocks_s16 if planes.dtype == np.int16
+              else lib.qsvc_encode_blocks_s32)
     fn(planes.ctypes.data_as(ctypes.c_void_p),
        offsets.ctypes.data_as(ctypes.c_void_p), W,
        hs.ctypes.data_as(ctypes.c_void_p),
@@ -240,6 +260,16 @@ def encode_packed_planes(planes: np.ndarray,
        ms_ptr)
     res = []
     for i in range(nb):
+        if out_lens[i] < 0:   # cap exceeded (pathological block): redo solo
+            n, y0, x0, th, tw = tiles_meta[i]
+            tile = planes[n, y0:y0 + th, x0:x0 + tw].astype(np.int64)
+            if coder == "bp":
+                res.append(_bp_encode_tiles(
+                    [tile], [min_slopes[i]] if min_slopes is not None
+                    else None)[0])
+            else:
+                res.append(encode_codeblock(tile, bands[i]))
+            continue
         n = int(npass[i])
         res.append(CodeblockStream(
             bytes(out[i, :out_lens[i]]), int(msbs[i]),
@@ -248,7 +278,91 @@ def encode_packed_planes(planes: np.ndarray,
     return res
 
 
-def decode_packed_planes(blocks, positions, out: np.ndarray) -> None:
+def _bp_encode_tiles(tiles: Sequence[np.ndarray],
+                     min_slopes: Optional[Sequence[float]] = None
+                     ) -> List[CodeblockStream]:
+    """bp-encode loose int64 tiles (test/utility path)."""
+    lib = _load()
+    if not lib:
+        raise RuntimeError(f"bp coder requires the native library: "
+                           f"{_build_error}")
+    out = []
+    for i, t in enumerate(tiles):
+        t = np.ascontiguousarray(t, np.int64)
+        h, w = t.shape
+        cap = max(4 * h * w * 8, 1 << 14)
+        buf = np.empty(cap, np.uint8)
+        lens = np.zeros(1, np.int32)
+        msbs = np.zeros(1, np.int32)
+        npass = np.zeros(1, np.int32)
+        ends = np.zeros(_MAX_PASSES, np.int32)
+        dist = np.zeros(_MAX_PASSES, np.float64)
+        dist0 = np.zeros(1, np.float64)
+        off = np.zeros(1, np.int64)
+        hs = np.asarray([h], np.int32)
+        ws = np.asarray([w], np.int32)
+        bc = np.zeros(1, np.int32)
+        ms = (np.asarray([min_slopes[i]], np.float64)
+              if min_slopes is not None else None)
+        lib.qsvc_bp_encode_blocks_i64(
+            t.ctypes.data_as(ctypes.c_void_p),
+            off.ctypes.data_as(ctypes.c_void_p), w,
+            hs.ctypes.data_as(ctypes.c_void_p),
+            ws.ctypes.data_as(ctypes.c_void_p),
+            bc.ctypes.data_as(ctypes.c_void_p), 1,
+            buf.ctypes.data_as(ctypes.c_void_p), cap,
+            lens.ctypes.data_as(ctypes.c_void_p),
+            msbs.ctypes.data_as(ctypes.c_void_p),
+            npass.ctypes.data_as(ctypes.c_void_p),
+            ends.ctypes.data_as(ctypes.c_void_p), _MAX_PASSES,
+            dist.ctypes.data_as(ctypes.c_void_p),
+            dist0.ctypes.data_as(ctypes.c_void_p),
+            ms.ctypes.data_as(ctypes.c_void_p) if ms is not None else None)
+        n = int(npass[0])
+        out.append(CodeblockStream(bytes(buf[:lens[0]]), int(msbs[0]),
+                                   ends[:n].tolist(), dist[:n].tolist(),
+                                   float(dist0[0]), (h, w), "LL"))
+    return out
+
+
+def bp_decode_tiles(blocks) -> List[np.ndarray]:
+    """bp-decode loose tiles: (data, msbs, num_passes, shape) tuples."""
+    lib = _load()
+    if not lib:
+        raise RuntimeError(f"bp coder requires the native library: "
+                           f"{_build_error}")
+    res = []
+    for (data, msbs, npass, shape) in blocks:
+        h, w = shape
+        out = np.zeros(h * w, np.int64)
+        buf = (np.frombuffer(data, np.uint8) if data
+               else np.zeros(1, np.uint8))
+        off = np.zeros(1, np.int64)
+        lens = np.asarray([len(data)], np.int32)
+        ms = np.asarray([msbs], np.int32)
+        np_ = np.asarray([npass], np.int32)
+        hs = np.asarray([h], np.int32)
+        ws = np.asarray([w], np.int32)
+        bc = np.zeros(1, np.int32)
+        oo = np.zeros(1, np.int32)
+        lib.qsvc_bp_decode_blocks_i64(
+            buf.ctypes.data_as(ctypes.c_void_p),
+            off.ctypes.data_as(ctypes.c_void_p),
+            lens.ctypes.data_as(ctypes.c_void_p),
+            ms.ctypes.data_as(ctypes.c_void_p),
+            np_.ctypes.data_as(ctypes.c_void_p),
+            None, None, 0,
+            hs.ctypes.data_as(ctypes.c_void_p),
+            ws.ctypes.data_as(ctypes.c_void_p),
+            bc.ctypes.data_as(ctypes.c_void_p), 1,
+            out.ctypes.data_as(ctypes.c_void_p),
+            oo.ctypes.data_as(ctypes.c_void_p))
+        res.append(out.reshape(h, w))
+    return res
+
+
+def decode_packed_planes(blocks, positions, out: np.ndarray,
+                         coder: str = "mq") -> None:
     """Batch-decode code-blocks directly INTO a packed (N, H, W) int32
     plane stack.
 
@@ -257,8 +371,15 @@ def decode_packed_planes(blocks, positions, out: np.ndarray) -> None:
     """
     lib = _load()
     N, H, W = out.shape
+    if coder == "bp" and not lib:
+        raise RuntimeError(f"bp coder requires the native library: "
+                           f"{_build_error}")
     if not lib or out.dtype != np.int32:
-        tiles = decode_codeblocks_batch(blocks)
+        if coder == "bp":
+            tiles = bp_decode_tiles([(b[0], b[1], b[2], b[3])
+                                     for b in blocks])
+        else:
+            tiles = decode_codeblocks_batch(blocks)
         for (n, y0, x0), b, tile in zip(positions, blocks, tiles):
             th, tw = b[3]
             out[n, y0:y0 + th, x0:x0 + tw] = tile
@@ -286,7 +407,9 @@ def decode_packed_planes(blocks, positions, out: np.ndarray) -> None:
     out_off = np.asarray([(n * H + y0) * W + x0
                           for (n, y0, x0) in positions], np.int64)
     lens32 = lens.astype(np.int32)
-    lib.qsvc_decode_blocks_s32(
+    dec_fn = (lib.qsvc_bp_decode_blocks_s32 if coder == "bp"
+              else lib.qsvc_decode_blocks_s32)
+    dec_fn(
         flat.ctypes.data_as(ctypes.c_void_p),
         data_off.ctypes.data_as(ctypes.c_void_p),
         lens32.ctypes.data_as(ctypes.c_void_p),

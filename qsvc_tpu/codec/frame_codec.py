@@ -95,6 +95,7 @@ class EncodedFrame:
     delta: float                     # base quantization step (9/7 path)
     codeblock_size: int
     blocks: List[EncodedBlock]
+    coder: str = "mq"                # "mq" (spec MQ) | "bp" (bit-parallel)
 
     @property
     def total_bytes(self) -> int:
@@ -103,7 +104,8 @@ class EncodedFrame:
     def truncate(self, threshold: float) -> "EncodedFrame":
         return EncodedFrame(self.H, self.W, self.levels, self.reversible,
                             self.delta, self.codeblock_size,
-                            [b.truncate(threshold) for b in self.blocks])
+                            [b.truncate(threshold) for b in self.blocks],
+                            self.coder)
 
 
 @partial(jax.jit, static_argnames=("levels", "reversible"))
@@ -228,21 +230,33 @@ def _tile_template(H: int, W: int, levels: int, cb: int) -> List[Tuple]:
     return tpl
 
 
-def encode_frames(planes: np.ndarray, levels: int, reversible: bool = True,
-                  delta: float = 0.125, codeblock_size: int = 64,
-                  min_threshold: float = 0.0) -> List[EncodedFrame]:
-    """Encode a stack of component planes (N, H, W): ONE fused device
-    DWT+quantize call (int16 transfer), ONE native strided batch over all
-    code-blocks of all frames — the production path."""
-    planes = np.asarray(planes)
-    N, H, W = planes.shape
+def encode_frames_dispatch(planes, levels: int, reversible: bool,
+                           delta: float):
+    """Stage 1: dispatch the fused device DWT+quantize (non-blocking).
+
+    Returns an opaque pending handle for :func:`encode_frames_fetch`.
+    Dispatching every stack before fetching any lets the device pipeline
+    all transforms while the host drains transfers."""
     d = jnp.float32(delta)
-    q16, ovf = _dwt_quant16(jnp.asarray(planes), levels, reversible, d)
+    pl = jnp.asarray(planes)
+    q16, ovf = _dwt_quant16(pl, levels, reversible, d)
+    return (pl, q16, ovf, levels, reversible, d)
+
+
+def encode_frames_fetch(pending) -> np.ndarray:
+    """Stage 2: pull the quantized int16 planes to host (transfer-bound)."""
+    pl, q16, ovf, levels, reversible, d = pending
     if bool(ovf):
-        packed_all = np.asarray(_dwt_quant32(jnp.asarray(planes), levels,
-                                             reversible, d))
-    else:
-        packed_all = np.asarray(q16)
+        return np.asarray(_dwt_quant32(pl, levels, reversible, d))
+    return np.asarray(q16)
+
+
+def encode_frames_host(packed_all: np.ndarray, levels: int, reversible: bool,
+                       delta: float, codeblock_size: int,
+                       min_threshold: float, coder: str
+                       ) -> List[EncodedFrame]:
+    """Stage 3: native entropy coding of fetched planes (CPU-bound)."""
+    N, H, W = packed_all.shape
     tpl = _tile_template(H, W, levels, codeblock_size)
     tiles_meta: List[Tuple] = []
     bands: List[str] = []
@@ -258,7 +272,7 @@ def encode_frames(planes: np.ndarray, levels: int, reversible: bool = True,
                               if min_threshold > 0 else 0.0)
     encoded = fast.encode_packed_planes(packed_all, tiles_meta, bands,
                                         min_slopes if min_threshold > 0
-                                        else None)
+                                        else None, coder=coder)
     per_frame: List[List[EncodedBlock]] = [[] for _ in range(N)]
     for cb, (n, b, ty, tx, th, tw, w) in zip(encoded, meta):
         slopes = _hull_slopes(cb.pass_ends, cb.pass_dist, cb.dist0, w)
@@ -266,7 +280,27 @@ def encode_frames(planes: np.ndarray, levels: int, reversible: bool = True,
             b.key, b.level, b.band, ty, tx, (th, tw), cb.msbs,
             cb.data, cb.pass_ends, slopes))
     return [EncodedFrame(H, W, levels, reversible, delta, codeblock_size,
-                         blocks) for blocks in per_frame]
+                         blocks, coder) for blocks in per_frame]
+
+
+def encode_frames(planes, levels: int, reversible: bool = True,
+                  delta: float = 0.125, codeblock_size: int = 64,
+                  min_threshold: float = 0.0, coder: str = "mq"
+                  ) -> List[EncodedFrame]:
+    """Encode a stack of component planes (N, H, W): ONE fused device
+    DWT+quantize call (int16 transfer), ONE native strided batch over all
+    code-blocks of all frames — the production path.
+
+    ``planes`` may be a device array (preferred: MCTF outputs then never
+    round-trip through the host) or a numpy array.  This is the serial
+    convenience wrapper; the pipelined path in :mod:`..api` overlaps
+    device compute, tunnel transfers and native coding across stacks via
+    the dispatch/fetch/host stages.
+    """
+    pending = encode_frames_dispatch(planes, levels, reversible, delta)
+    packed_all = encode_frames_fetch(pending)
+    return encode_frames_host(packed_all, levels, reversible, delta,
+                              codeblock_size, min_threshold, coder)
 
 
 def decode_frames(efs: List[EncodedFrame], threshold: float = 0.0,
@@ -294,7 +328,7 @@ def decode_frames(efs: List[EncodedFrame], threshold: float = 0.0,
             b = by_key[blk.band_key]
             positions.append((n, b.y0 + blk.y0, b.x0 + blk.x0))
     packed = np.zeros((len(efs), H, W), np.int32)
-    fast.decode_packed_planes(todo, positions, packed)
+    fast.decode_packed_planes(todo, positions, packed, coder=ef0.coder)
     d = jnp.float32(ef0.delta)
     if discard_levels:
         sizes_y = dwt2d._level_sizes(H, discard_levels)
@@ -317,7 +351,8 @@ def _to_device_small(packed: np.ndarray) -> jnp.ndarray:
 
 def encode_frame(plane: np.ndarray, levels: int, reversible: bool = True,
                  delta: float = 0.125, codeblock_size: int = 64,
-                 min_threshold: float = 0.0) -> EncodedFrame:
+                 min_threshold: float = 0.0, coder: str = "mq"
+                 ) -> EncodedFrame:
     """Encode one component plane (uint8-range values).
 
     ``min_threshold``: weighted-slope floor — planes whose distortion-length
@@ -325,7 +360,7 @@ def encode_frame(plane: np.ndarray, levels: int, reversible: bool = True,
     truncation at that threshold), which skips most deep bit-planes at
     lossy operating points."""
     return encode_frames(np.asarray(plane)[None], levels, reversible, delta,
-                         codeblock_size, min_threshold)[0]
+                         codeblock_size, min_threshold, coder)[0]
 
 
 def decode_frame(ef: EncodedFrame,

@@ -79,6 +79,9 @@ class CodecConfig:
     nLayers: int = 5
     #: texture codeblock size for EBCOT Tier-1 (J2K-style 2**n, <= 64)
     codeblock_size: int = 64
+    #: texture entropy coder: "bp" (bit-parallel throughput mode, native)
+    #: or "mq" (spec-style context-adaptive MQ, maximum compaction)
+    texture_coder: str = "bp"
 
     # --- misc ---
     FPS: float = 30.0

@@ -36,7 +36,7 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-from ..ops import dwt2d
+from ..ops import blocks, dwt2d
 
 # spiral order: later probes win ties; (0,0) last (motion_estimate.cpp:124-174)
 SPIRAL = ((-1, -1), (-1, 1), (1, -1), (1, 1),
@@ -49,54 +49,69 @@ def _ceil_half(x: int, times: int) -> int:
     return x
 
 
+def _padded_active(img: jnp.ndarray, ny: int, nx: int, lo: int,
+                   By: int, Bx: int, block_size: int, win: int
+                   ) -> jnp.ndarray:
+    """Edge-replicate the active (ny, nx) region so that every block
+    window/patch read (with the ±lo offset slack) stays in bounds — the
+    functional equivalent of the reference's per-index clamping
+    (patches read with clamped indices == reads from an edge-padded
+    image while offsets stay within the pad)."""
+    act = img[:ny, :nx]
+    hi_y = lo + win + max(0, (By - 1) * block_size + win - ny)
+    hi_x = lo + win + max(0, (Bx - 1) * block_size + win - nx)
+    return jnp.pad(act, ((lo, hi_y), (lo, hi_x)), mode="edge")
+
+
 def _gather_patches(img: jnp.ndarray, mv_y: jnp.ndarray, mv_x: jnp.ndarray,
-                    block_size: int, border: int, ny: int, nx: int
-                    ) -> jnp.ndarray:
+                    block_size: int, border: int, ny: int, nx: int,
+                    max_mv: int) -> jnp.ndarray:
     """Per-block patches of ``img`` shifted by per-block vectors.
 
     Returns (By, Bx, win+2, win+2) where win = block_size + 2*border; the +2
-    margin covers the ±1 spiral.  Indices clamp to [0, ny/nx).
+    margin covers the ±1 spiral.  Out-of-range reads replicate the edge of
+    the active (ny, nx) region.  One XLA gather with patch-sized slices.
     """
     By, Bx = mv_y.shape
     win = block_size + 2 * border + 2
-    by = jnp.arange(By, dtype=jnp.int32)[:, None, None, None] * block_size
-    bx = jnp.arange(Bx, dtype=jnp.int32)[None, :, None, None] * block_size
-    wy = jnp.arange(win, dtype=jnp.int32)[None, None, :, None] - border - 1
-    wx = jnp.arange(win, dtype=jnp.int32)[None, None, None, :] - border - 1
-    iy = jnp.clip(by + wy + mv_y[:, :, None, None], 0, ny - 1)
-    ix = jnp.clip(bx + wx + mv_x[:, :, None, None], 0, nx - 1)
-    return img[iy, ix]
+    lo = border + 1 + max_mv
+    padded = _padded_active(img, ny, nx, lo, By, Bx, block_size, win)
+    base_y = (jnp.arange(By, dtype=jnp.int32) * block_size)[:, None]
+    base_x = (jnp.arange(Bx, dtype=jnp.int32) * block_size)[None, :]
+    return blocks.gather_block_patches(
+        padded, base_y + mv_y + (lo - border - 1),
+        base_x + mv_x + (lo - border - 1), win, win)
 
 
 def _pred_windows(img: jnp.ndarray, block_size: int, border: int,
                   By: int, Bx: int, ny: int, nx: int) -> jnp.ndarray:
     """(By, Bx, win, win) windows of the predicted frame around each block."""
     win = block_size + 2 * border
-    by = jnp.arange(By, dtype=jnp.int32)[:, None, None, None] * block_size
-    bx = jnp.arange(Bx, dtype=jnp.int32)[None, :, None, None] * block_size
-    wy = jnp.arange(win, dtype=jnp.int32)[None, None, :, None] - border
-    wx = jnp.arange(win, dtype=jnp.int32)[None, None, None, :] - border
-    iy = jnp.clip(by + wy, 0, ny - 1)
-    ix = jnp.clip(bx + wx, 0, nx - 1)
-    return img[iy, ix]
+    padded = _padded_active(img, ny, nx, border, By, Bx, block_size, win)
+    base_y = (jnp.arange(By, dtype=jnp.int32) * block_size)[:, None]
+    base_x = (jnp.arange(Bx, dtype=jnp.int32) * block_size)[None, :]
+    return blocks.gather_block_patches(
+        padded, jnp.broadcast_to(base_y, (By, Bx)),
+        jnp.broadcast_to(base_x, (By, Bx)), win, win)
 
 
 def _refine_level(pred: jnp.ndarray, ref_prev: jnp.ndarray,
                   ref_next: jnp.ndarray, mv: jnp.ndarray,
-                  block_size: int, border: int, ny: int, nx: int
-                  ) -> jnp.ndarray:
+                  block_size: int, border: int, ny: int, nx: int,
+                  max_mv: int) -> jnp.ndarray:
     """One ±1 spiral refinement of all blocks (local_me_for_image,
     motion_estimate.cpp:196-225).
 
-    ``mv``: (2 dirs, 2 comps(y,x), By, Bx) int32.  Returns updated mv.
+    ``mv``: (2 dirs, 2 comps(y,x), By, Bx) int32, |mv| <= max_mv.
+    Returns updated mv.
     """
     By, Bx = mv.shape[2], mv.shape[3]
     win = block_size + 2 * border
     predw = _pred_windows(pred, block_size, border, By, Bx, ny, nx)
     patches_p = _gather_patches(ref_prev, mv[0, 0], mv[0, 1],
-                                block_size, border, ny, nx)
+                                block_size, border, ny, nx, max_mv)
     patches_n = _gather_patches(ref_next, mv[1, 0], mv[1, 1],
-                                block_size, border, ny, nx)
+                                block_size, border, ny, nx, max_mv)
 
     neg = jnp.iinfo(jnp.int32).max
     best_err_p = jnp.full((By, Bx), neg, dtype=jnp.int32)
@@ -171,7 +186,7 @@ def estimate_pair(pred: jnp.ndarray, ref_prev: jnp.ndarray,
     mv_l = _refine_level(lls_pred[dwt_levels], lls_prev[dwt_levels],
                          lls_next[dwt_levels],
                          mv[:, :, :by_l, :bx_l],
-                         block_size, border_size, ny, nx)
+                         block_size, border_size, ny, nx, search_range)
     mv = mv.at[:, :, :by_l, :bx_l].set(mv_l)
 
     for l in range(dwt_levels - 1, -1, -1):
@@ -182,7 +197,8 @@ def estimate_pair(pred: jnp.ndarray, ref_prev: jnp.ndarray,
         mv = jnp.clip(mv * 2, -search_range, search_range)
         mv_l = _refine_level(
             lls_pred[l], lls_prev[l], lls_next[l],
-            mv[:, :, :by_f, :bx_f], block_size, border_size, ny, nx)
+            mv[:, :, :by_f, :bx_f], block_size, border_size, ny, nx,
+            search_range)
         mv = mv.at[:, :, :by_f, :bx_f].set(mv_l)
 
     if subpixel_accuracy > 0:
@@ -195,7 +211,7 @@ def estimate_pair(pred: jnp.ndarray, ref_prev: jnp.ndarray,
             mv = jnp.clip(mv * 2, -cap, cap)
             mv = _refine_level(up_pred, up_prev, up_next, mv,
                                block_size << s, border_size >> s,
-                               H << s, W << s)
+                               H << s, W << s, cap)
     return mv
 
 

@@ -33,7 +33,7 @@ from typing import NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 
-from ..ops import dwt2d
+from ..ops import blocks, dwt2d
 from ..ops.border import pad_edge
 from ..ops.entropy import histogram_entropy
 from ..ops.lifting import tdiv
@@ -66,16 +66,22 @@ def mv_to_pixel_map(mv: jnp.ndarray, block_size: int, H: int, W: int
 
 
 def _mc_gather(ref: jnp.ndarray, mv_y: jnp.ndarray, mv_x: jnp.ndarray,
-               border: int) -> jnp.ndarray:
-    """Motion-compensated gather: out[y,x] = ref[y+mv_y, x+mv_x] with edge
-    replication ``border`` pixels deep (clamped beyond)."""
-    H, W = ref.shape[-2], ref.shape[-1]
+               block_size: int, border: int) -> jnp.ndarray:
+    """Motion-compensated gather: ``out`` block (i,j) = the ``ref`` block
+    shifted by that block's vector, with edge replication ``border`` pixels
+    deep.  One XLA gather with block-sized slices (per-pixel index gathers
+    are ~100x slower on TPU).
+
+    ``mv_y``/``mv_x``: (By, Bx) block-constant vectors, |mv| <= border.
+    """
+    By, Bx = mv_y.shape
     padded = pad_edge(ref, border)
-    yy = jnp.arange(H, dtype=jnp.int32)[:, None]
-    xx = jnp.arange(W, dtype=jnp.int32)[None, :]
-    iy = jnp.clip(yy + mv_y + border, 0, H + 2 * border - 1)
-    ix = jnp.clip(xx + mv_x + border, 0, W + 2 * border - 1)
-    return padded[..., iy, ix]
+    base_y = (jnp.arange(By, dtype=jnp.int32) * block_size)[:, None]
+    base_x = (jnp.arange(Bx, dtype=jnp.int32) * block_size)[None, :]
+    patches = blocks.gather_block_patches(
+        padded, base_y + mv_y + border, base_x + mv_x + border,
+        block_size, block_size)
+    return blocks.blocks_to_image(patches)
 
 
 def predict_frame(ref_prev: jnp.ndarray, ref_next: jnp.ndarray,
@@ -86,10 +92,8 @@ def predict_frame(ref_prev: jnp.ndarray, ref_next: jnp.ndarray,
     ``ref_*``: (C, H, W) int32 (chroma already upsampled);
     ``mv``: (2 dirs, 2 comps, By, Bx).
     """
-    H, W = ref_prev.shape[-2], ref_prev.shape[-1]
-    mvp = mv_to_pixel_map(mv, block_size, H, W)  # (2,2,H,W)
-    g_prev = _mc_gather(ref_prev, mvp[0, 0], mvp[0, 1], border)
-    g_next = _mc_gather(ref_next, mvp[1, 0], mvp[1, 1], border)
+    g_prev = _mc_gather(ref_prev, mv[0, 0], mv[0, 1], block_size, border)
+    g_next = _mc_gather(ref_next, mv[1, 0], mv[1, 1], block_size, border)
     pred = tdiv(g_prev + g_next, 2)
     return jnp.clip(pred, 0, 255)
 

@@ -28,6 +28,7 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
+from ..ops import blocks
 from .predict import mv_to_pixel_map, upsample_chroma, downsample_chroma
 
 
@@ -68,35 +69,44 @@ def _update_field(residue_444: jnp.ndarray, mv_dir_y: jnp.ndarray,
     """
     C, H, W = residue_444.shape
     By, Bx = mv_dir_y.shape
+    bs = block_size
     contrib = jnp.floor(residue_444.astype(jnp.float32)
                         * jnp.float32(update_factor)).astype(jnp.int32)
     # vectors are clamped to +-search_range at ME time
     # (motion_estimate.cpp:321-348), bounding the contributing
     # block-offset neighbourhood
-    K = -(-int(search_range) // int(block_size))
-    yy = jnp.arange(H, dtype=jnp.int32)[:, None]
-    xx = jnp.arange(W, dtype=jnp.int32)[None, :]
-    pby = yy // block_size           # dest pixel's block row
-    pbx = xx // block_size
-    out = jnp.zeros((C, H, W), dtype=jnp.int32)
+    K = -(-int(search_range) // bs)
+    P = int(search_range)            # zero pad: out-of-frame sources drop
+    padded = jnp.pad(contrib, ((0, 0), (P, P), (P, P)))
+    base_y = (jnp.arange(By, dtype=jnp.int32) * bs)[:, None]
+    base_x = (jnp.arange(Bx, dtype=jnp.int32) * bs)[None, :]
+    iota = jnp.arange(bs, dtype=jnp.int32)
+    out_blocks = jnp.zeros((By, Bx, C, bs, bs), dtype=jnp.int32)
     for dy in range(-K, K + 1):
         for dx in range(-K, K + 1):
-            by = pby + dy            # candidate source block
-            bx = pbx + dx
-            in_grid = (by >= 0) & (by < By) & (bx >= 0) & (bx < Bx)
-            byc = jnp.clip(by, 0, By - 1)
-            bxc = jnp.clip(bx, 0, Bx - 1)
-            mvy = mv_dir_y[byc, bxc]
-            mvx = mv_dir_x[byc, bxc]
-            sy = yy - mvy            # source pixel if b contributed to p
-            sx = xx - mvx
-            valid = in_grid & (sy // block_size == by) & \
-                (sx // block_size == bx) & (sy >= 0) & (sy < H) & \
-                (sx >= 0) & (sx < W)
-            syc = jnp.clip(sy, 0, H - 1)
-            sxc = jnp.clip(sx, 0, W - 1)
-            out = out + jnp.where(valid[None], contrib[:, syc, sxc], 0)
-    return out
+            byc = jnp.clip(jnp.arange(By, dtype=jnp.int32) + dy, 0, By - 1)
+            bxc = jnp.clip(jnp.arange(Bx, dtype=jnp.int32) + dx, 0, Bx - 1)
+            in_grid = ((jnp.arange(By) + dy >= 0) & (jnp.arange(By) + dy < By)
+                       )[:, None] & \
+                      ((jnp.arange(Bx) + dx >= 0) & (jnp.arange(Bx) + dx < Bx)
+                       )[None, :]
+            mvy = mv_dir_y[byc[:, None], bxc[None, :]]   # (By, Bx)
+            mvx = mv_dir_x[byc[:, None], bxc[None, :]]
+            # dest pixel p in block (i,j) receives contrib[p - mv_b] iff
+            # p - mv_b lies inside source block b=(i+dy, j+dx): with patch
+            # coords r, that is r in [mv + d*bs, mv + d*bs + bs)
+            patches = blocks.gather_block_patches(
+                padded, base_y - mvy + P, base_x - mvx + P, bs, bs)
+            lo_y = mvy + dy * bs
+            lo_x = mvx + dx * bs
+            rmask = ((iota[None, None, :] >= lo_y[:, :, None]) &
+                     (iota[None, None, :] < (lo_y + bs)[:, :, None]))
+            cmask = ((iota[None, None, :] >= lo_x[:, :, None]) &
+                     (iota[None, None, :] < (lo_x + bs)[:, :, None]))
+            m = (in_grid[:, :, None, None] & rmask[:, :, :, None] &
+                 cmask[:, :, None, :])
+            out_blocks = out_blocks + jnp.where(m[:, :, None], patches, 0)
+    return blocks.blocks_to_image(out_blocks)
 
 
 def apply_update(even_444: jnp.ndarray, upd: jnp.ndarray, sign: int

@@ -126,7 +126,8 @@ def _reduce_frame(ef: EncodedFrame, d: int) -> EncodedFrame:
             b.band, b.y0, b.x0, b.shape, b.msbs, b.data, b.pass_ends,
             b.pass_slopes))
     return EncodedFrame(sizes_h[d], sizes_w[d], ef.levels - d,
-                        ef.reversible, ef.delta, ef.codeblock_size, keep)
+                        ef.reversible, ef.delta, ef.codeblock_size, keep,
+                        ef.coder)
 
 
 def spatial_truncate(vs: VideoStream, discard_SRLs: int) -> VideoStream:
@@ -209,7 +210,7 @@ def _apply_selection(vs: VideoStream, keep_passes: Dict[int, int]
                         blk.pass_ends[:n], blk.pass_slopes[:n]))
                 nf[comp] = EncodedFrame(ef.H, ef.W, ef.levels,
                                         ef.reversible, ef.delta,
-                                        ef.codeblock_size, blocks)
+                                        ef.codeblock_size, blocks, ef.coder)
             out.append(nf)
         return out
 

@@ -18,8 +18,10 @@ NDEV = len(jax.devices())
 
 @pytest.fixture(scope="module")
 def setup():
-    G = min(NDEV, 8)
-    cfg = CodecConfig(pixels_in_x=64, pixels_in_y=48, TRLs=3, GOPs=G,
+    # small on purpose: XLA-CPU compiles of 8-virtual-device shard_maps take
+    # minutes; 4 devices x TRLs=2 covers the same halo/collective paths
+    G = min(NDEV, 4)
+    cfg = CodecConfig(pixels_in_x=64, pixels_in_y=48, TRLs=2, GOPs=G,
                       block_size=16, search_range=4, update_factor=0.25,
                       quantization_texture=0, SRLs=3)
     vid = synthetic_video(cfg.pictures, 48, 64, seed=21)

@@ -53,11 +53,13 @@ def test_serialization_roundtrip():
     np.testing.assert_array_equal(rec1.u, rec2.u)
 
 
-def test_lossy_mctf_quality():
+@pytest.mark.parametrize("coder,bpp_cap", [("mq", 4.0), ("bp", 5.2)])
+def test_lossy_mctf_quality(coder, bpp_cap):
     # BASELINE config 2 shape: CIF-ish MCTF GOP=4, 9/7 lossy
     cfg = CodecConfig(pixels_in_x=176, pixels_in_y=144, TRLs=3, GOPs=1,
                       block_size=16, search_range=4, update_factor=0.25,
-                      quantization_texture=43000, SRLs=4)
+                      quantization_texture=43000, SRLs=4,
+                      texture_coder=coder)
     vid = synthetic_video(cfg.pictures, 144, 176, seed=5)
     vs = compress(vid, cfg, reversible=False)
     data = vs.to_bytes()
@@ -66,7 +68,7 @@ def test_lossy_mctf_quality():
     raw = vid.y.size + vid.u.size + vid.v.size
     bpp = len(data) * 8 / raw
     assert py > 28, (py, bpp)
-    assert bpp < 4.0, bpp
+    assert bpp < bpp_cap, bpp
 
 
 def test_quality_extraction_monotone():
