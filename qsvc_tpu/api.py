@@ -83,13 +83,16 @@ def compress(video: Video, cfg: CodecConfig, reversible: bool = True,
             delta = 0.125
     from .codec import fast as _fast
     coder = cfg.texture_coder if _fast.available() else "mq"
-    y = jnp.asarray(np.asarray(video.y, np.int32))
-    u = jnp.asarray(np.asarray(video.u, np.int32))
-    v = jnp.asarray(np.asarray(video.v, np.int32))
+    # upload 1 byte/pixel; widening happens on device inside analyze
+    y = jnp.asarray(np.asarray(video.y, np.uint8))
+    u = jnp.asarray(np.asarray(video.u, np.uint8))
+    v = jnp.asarray(np.asarray(video.v, np.uint8))
     if cfg.TRLs > 1:
         stream = transform.analyze_jit(y, u, v, cfg)
     else:
-        stream = transform.MCTFStream(y, u, v, ())
+        stream = transform.MCTFStream(y.astype(jnp.int32),
+                                      u.astype(jnp.int32),
+                                      v.astype(jnp.int32), ())
     srl_levels = cfg.SRLs - 1
     cb = cfg.codeblock_size
 
@@ -106,30 +109,34 @@ def compress(video: Video, cfg: CodecConfig, reversible: bool = True,
             return frames
         return [{c: ef.truncate(t) for c, ef in fr.items()} for fr in frames]
 
-    # Pipelined texture encode: dispatch every component stack's device
-    # DWT+quantize first (device work overlaps), then drain the int16
-    # transfers on this thread while a worker runs the native entropy
-    # coder on already-fetched stacks (ctypes releases the GIL).
+    # Pipelined texture encode: dispatch every component stack's fused
+    # device DWT+quantize+tile first (device work overlaps), fetch only the
+    # tiny per-tile significance stats, gather and transfer only the
+    # code-blocks that will actually be coded, and run the native entropy
+    # coder on a worker while this thread drains the next stack's transfer
+    # (ctypes releases the GIL).
     stacks = [(stream.low_y, thr(0)), (stream.low_u, thr(0)),
               (stream.low_v, thr(0))]
     for t, lev in enumerate(stream.levels, start=1):
         mt = thr(cfg.TRLs - t)
         stacks += [(lev.high_y, mt), (lev.high_u, mt), (lev.high_v, mt)]
-    pendings = [frame_codec.encode_frames_dispatch(p, srl_levels, reversible,
-                                                   delta)
-                for (p, _) in stacks]
+    pendings = [frame_codec.encode_frames_dispatch_sparse(
+        p, srl_levels, reversible, delta, cb) for (p, _) in stacks]
 
     mv_fields = [lev.mv for lev in stream.levels]
     residues = (jax.device_get(motion_coding.decorrelate_jit(mv_fields))
                 if mv_fields else [])
 
+    selecteds = [frame_codec.encode_frames_select_sparse(pend, mt)
+                 for pend, (_, mt) in zip(pendings, stacks)]
     with ThreadPoolExecutor(max_workers=1) as ex:
         futs = []
-        for pend, (_, mt) in zip(pendings, stacks):
-            packed = frame_codec.encode_frames_fetch(pend)
-            futs.append(ex.submit(frame_codec.encode_frames_host, packed,
-                                  srl_levels, reversible, delta, cb, mt,
-                                  coder))
+        for sel, pend, (_, mt) in zip(selecteds, pendings, stacks):
+            H, W = pend[0].shape[1], pend[0].shape[2]
+            if sel[0] == "sparse":
+                sel = sel[:1] + (np.asarray(sel[1]),) + sel[2:]
+            futs.append(ex.submit(frame_codec.encode_frames_finish_sparse,
+                                  sel, H, W, mt, coder))
         encoded = [f.result() for f in futs]
 
     def plane_set(idx):

@@ -230,6 +230,133 @@ def _tile_template(H: int, W: int, levels: int, cb: int) -> List[Tuple]:
     return tpl
 
 
+@partial(jax.jit, static_argnames=("levels", "reversible", "cb"))
+def _dwt_quant_tiles(plane: jnp.ndarray, levels: int, reversible: bool,
+                     delta: jnp.ndarray, cb: int):
+    """Forward DWT + quantize + code-block tiling fused on device.
+
+    Returns (tiles, maxabs, sse, overflow): ``tiles`` is (N, nb, cb, cb)
+    int16 in band-layout/template order (edge tiles zero-padded), plus
+    per-tile max magnitude and sum-of-squares so the host can decide which
+    blocks will actually be coded before transferring them — only coded
+    blocks cross the host link (the hot-path replacement for fetching the
+    whole packed plane, which is tunnel-bandwidth-bound at 1080p).
+    """
+    if reversible:
+        q = dwt2d.analyze(plane.astype(jnp.int32) - 128, levels, "5/3")
+    else:
+        c = dwt2d.analyze(plane.astype(jnp.float32) - 128.0, levels, "9/7")
+        q = jnp.trunc(c / delta).astype(jnp.int32)
+    q16 = q.astype(jnp.int16)
+    overflow = jnp.any(q16.astype(jnp.int32) != q)
+    N, H, W = q16.shape
+    parts = []
+    for b in subbands.band_layout(H, W, levels):
+        band = q16[:, b.y0:b.y0 + b.h, b.x0:b.x0 + b.w]
+        nh, nw = -(-b.h // cb), -(-b.w // cb)
+        band = jnp.pad(band, ((0, 0), (0, nh * cb - b.h),
+                              (0, nw * cb - b.w)))
+        parts.append(band.reshape(N, nh, cb, nw, cb)
+                     .transpose(0, 1, 3, 2, 4).reshape(N, nh * nw, cb, cb))
+    tiles = jnp.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
+    maxabs = jnp.abs(tiles.astype(jnp.int32)).max(axis=(2, 3))
+    sse = jnp.sum(jnp.square(tiles.astype(jnp.float32)), axis=(2, 3))
+    return tiles, maxabs, sse, overflow
+
+
+@jax.jit
+def _take_tiles(tiles: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    N, nb, cb, _ = tiles.shape
+    return tiles.reshape(N * nb, cb, cb)[idx]
+
+
+def encode_frames_dispatch_sparse(planes, levels: int, reversible: bool,
+                                  delta: float, codeblock_size: int):
+    """Stage 1 (sparse path): fused device DWT+quantize+tile, non-blocking."""
+    d = jnp.float32(delta)
+    pl = jnp.asarray(planes)
+    tiles, maxabs, sse, ovf = _dwt_quant_tiles(pl, levels, reversible, d,
+                                               codeblock_size)
+    return (pl, tiles, maxabs, sse, ovf, levels, reversible, d,
+            codeblock_size)
+
+
+def encode_frames_select_sparse(pending, min_threshold: float):
+    """Stage 2: fetch the tiny per-tile stats, pick the blocks worth coding
+    and dispatch the compact device gather.  A block is skipped when it is
+    all-zero, or when even coding it *entirely* could not reach the
+    truncation threshold (max achievable distortion-length slope =
+    total SSE / 1 byte < the block's min_slope) — strictly conservative,
+    the native coder's own early-stop would emit nothing that survives.
+    """
+    (pl, tiles, maxabs, sse, ovf, levels, reversible, d, cb) = pending
+    maxabs_h, sse_h, ovf_h = jax.device_get((maxabs, sse, ovf))
+    if bool(ovf_h):
+        return ("packed", np.asarray(_dwt_quant32(pl, levels, reversible, d)),
+                None, None, levels, reversible, float(d), cb)
+    N, nb = maxabs_h.shape
+    H, W = pl.shape[1], pl.shape[2]
+    tpl = _tile_template(H, W, levels, cb)
+    assert len(tpl) == nb, (len(tpl), nb)
+    keep = (maxabs_h > 0)
+    if min_threshold > 0:
+        ms = np.empty(nb, np.float64)
+        for i, (b, ty, tx, th, tw, g_rev, g_irr) in enumerate(tpl):
+            w = g_rev if reversible else g_irr * float(d) * float(d)
+            ms[i] = min_threshold / w / 8.0
+        keep &= (sse_h >= ms[None, :])
+    flat_idx = np.flatnonzero(keep.ravel()).astype(np.int32)
+    compact = _take_tiles(tiles, jnp.asarray(flat_idx))
+    return ("sparse", compact, flat_idx, (N, nb, maxabs_h), levels,
+            reversible, float(d), cb)
+
+
+def encode_frames_finish_sparse(selected, H: int, W: int,
+                                min_threshold: float, coder: str
+                                ) -> List[EncodedFrame]:
+    """Stage 3: fetch compact tiles, run the native coder on them only."""
+    (mode, data, flat_idx, stats, levels, reversible, delta, cb) = selected
+    if mode == "packed":
+        return encode_frames_host(data, levels, reversible, delta, cb,
+                                  min_threshold, coder)
+    compact = np.asarray(data)           # (K, cb, cb) int16
+    N, nb, maxabs_h = stats
+    tpl = _tile_template(H, W, levels, cb)
+    K = compact.shape[0]
+    tiles_meta: List[Tuple] = []
+    bands: List[str] = []
+    min_slopes: List[float] = []
+    metas: List[Tuple] = []
+    for k, fi in enumerate(flat_idx):
+        n, ti = divmod(int(fi), nb)
+        (b, ty, tx, th, tw, g_rev, g_irr) = tpl[ti]
+        w = g_rev if reversible else g_irr * delta * delta
+        tiles_meta.append((k, 0, 0, th, tw))
+        bands.append(b.band)
+        min_slopes.append(min_threshold / w / 8.0 if min_threshold > 0
+                          else 0.0)
+        metas.append((n, b, ty, tx, th, tw, w))
+    encoded = fast.encode_packed_planes(
+        compact, tiles_meta, bands,
+        min_slopes if min_threshold > 0 else None, coder=coder)
+    per_frame: List[List[EncodedBlock]] = [[] for _ in range(N)]
+    coded = {}
+    for cbk, (n, b, ty, tx, th, tw, w) in zip(encoded, metas):
+        slopes = _hull_slopes(cbk.pass_ends, cbk.pass_dist, cbk.dist0, w)
+        coded[(n, b.key, ty, tx)] = EncodedBlock(
+            b.key, b.level, b.band, ty, tx, (th, tw), cbk.msbs,
+            cbk.data, cbk.pass_ends, slopes)
+    for n in range(N):
+        for ti, (b, ty, tx, th, tw, g_rev, g_irr) in enumerate(tpl):
+            blk = coded.get((n, b.key, ty, tx))
+            if blk is None:
+                blk = EncodedBlock(b.key, b.level, b.band, ty, tx,
+                                   (th, tw), 0, b"", [], [])
+            per_frame[n].append(blk)
+    return [EncodedFrame(H, W, levels, reversible, delta, cb, blocks, coder)
+            for blocks in per_frame]
+
+
 def encode_frames_dispatch(planes, levels: int, reversible: bool,
                            delta: float):
     """Stage 1: dispatch the fused device DWT+quantize (non-blocking).
@@ -297,10 +424,11 @@ def encode_frames(planes, levels: int, reversible: bool = True,
     device compute, tunnel transfers and native coding across stacks via
     the dispatch/fetch/host stages.
     """
-    pending = encode_frames_dispatch(planes, levels, reversible, delta)
-    packed_all = encode_frames_fetch(pending)
-    return encode_frames_host(packed_all, levels, reversible, delta,
-                              codeblock_size, min_threshold, coder)
+    pending = encode_frames_dispatch_sparse(planes, levels, reversible,
+                                            delta, codeblock_size)
+    H, W = pending[0].shape[1], pending[0].shape[2]
+    selected = encode_frames_select_sparse(pending, min_threshold)
+    return encode_frames_finish_sparse(selected, H, W, min_threshold, coder)
 
 
 def decode_frames(efs: List[EncodedFrame], threshold: float = 0.0,

@@ -152,8 +152,10 @@ def _synthesize_level(low: Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray],
 
 def analyze(y: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray,
             cfg: CodecConfig) -> MCTFStream:
-    """Forward MCTF of a (2k+1)-frame sequence; int32 planes in [0,255]."""
-    low = (y, u, v)
+    """Forward MCTF of a (2k+1)-frame sequence; planes in [0,255] (any
+    integer dtype — uint8 inputs are widened on device, so the host upload
+    stays 1 byte/pixel)."""
+    low = (y.astype(jnp.int32), u.astype(jnp.int32), v.astype(jnp.int32))
     levels: List[LevelData] = []
     for lp in cfg.level_schedule():
         low, lev = _analyze_level(low, lp.block_size, lp.search_range, cfg)
