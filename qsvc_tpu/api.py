@@ -127,7 +127,7 @@ def compress(video: Video, cfg: CodecConfig, reversible: bool = True,
     residues = (jax.device_get(motion_coding.decorrelate_jit(mv_fields))
                 if mv_fields else [])
 
-    selecteds = [frame_codec.encode_frames_select_sparse(pend, mt)
+    selecteds = [frame_codec.encode_frames_select_sparse(pend, mt, coder)
                  for pend, (_, mt) in zip(pendings, stacks)]
     with ThreadPoolExecutor(max_workers=1) as ex:
         futs = []

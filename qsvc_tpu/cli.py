@@ -82,8 +82,11 @@ def main(argv=None) -> int:
     pt.add_argument("--discard_TRLs", type=int, default=0)
     pt.add_argument("--discard_SRLs", type=int, default=0)
     pt.add_argument("--algorithm", default="PTS",
-                    choices=["PTS", "PTL", "AmPTL", "FS"],
-                    help="layer-ordering / BRC policy")
+                    choices=["PTS", "ITS", "PTL", "AmPTL", "FS", "SR",
+                             "ISR"],
+                    help="layer-ordering / BRC policy (FS/SR/ISR are the "
+                         "reference's per-GOP R-D searches, here driven by "
+                         "recorded slopes instead of decode probes)")
     pt.add_argument("--BRC", type=float, default=0,
                     help="target kbps for rate-controlled extraction")
     pt.add_argument("--FPS", type=float, default=30.0)
@@ -97,6 +100,26 @@ def main(argv=None) -> int:
     pp.add_argument("--file_B", required=True)
     pp.add_argument("--pixels_in_x", type=int, required=True)
     pp.add_argument("--pixels_in_y", type=int, required=True)
+
+    pr = sub.add_parser("rd", help="trace an RD curve from one stream "
+                                   "(psnr_vs_br equivalent, no re-encode)")
+    pr.add_argument("--input", required=True, help=".qsvc stream")
+    pr.add_argument("--original", required=True, help="raw .yuv source")
+    pr.add_argument("--quantizations", default="43000,44000,45000,46000",
+                    help="comma-separated slope sweep")
+    pr.add_argument("--FPS", type=float, default=30.0)
+
+    ps = sub.add_parser("search_slope",
+                        help="find the slope hitting an RMSE target "
+                             "(searchSlope_byDistortion equivalent)")
+    ps.add_argument("--input", required=True)
+    ps.add_argument("--original", required=True)
+    ps.add_argument("--distortion", type=float, required=True,
+                    help="target RMSE (Y)")
+
+    pv = sub.add_parser("vix2raw", help="strip a VIX header (vix2raw.c)")
+    pv.add_argument("--input", required=True)
+    pv.add_argument("--output", required=True)
 
     args = ap.parse_args(argv)
 
@@ -172,6 +195,30 @@ def main(argv=None) -> int:
         n = min(a.frames, b.frames)
         py, pu, pv = yuv.video_psnr(a[:n], b[:n])
         print(f"Y {py:.3f} dB  U {pu:.3f} dB  V {pv:.3f} dB")
+        return 0
+
+    if args.cmd in ("rd", "search_slope"):
+        from .codec.codestream import VideoStream
+        from .scal import rd as rdmod
+        with open(args.input, "rb") as f:
+            vs = VideoStream.from_bytes(f.read())
+        cfg = vs.cfg
+        orig = yuv.read_yuv(args.original, cfg.pixels_in_x, cfg.pixels_in_y,
+                            cfg.pictures)
+        if args.cmd == "rd":
+            qs = [float(q) for q in args.quantizations.split(",")]
+            pts = rdmod.rd_curve(vs, orig, qs, fps=args.FPS)
+            print(rdmod.format_curve(pts))
+        else:
+            q, pt = rdmod.search_slope_for_distortion(vs, orig,
+                                                      args.distortion)
+            print(f"slope {q:.1f}: {pt.kbps:.1f} kbps, RMSE {pt.rmse_y:.3f},"
+                  f" PSNR {pt.psnr_y:.2f} dB")
+        return 0
+
+    if args.cmd == "vix2raw":
+        n = yuv.vix_to_raw(args.input, args.output)
+        print(f"{n} payload bytes")
         return 0
 
     return 1

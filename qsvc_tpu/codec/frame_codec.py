@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import dwt2d
-from . import fast, subbands, tier1
+from . import bp_device, fast, subbands, tier1
 
 #: slope-unit mapping: threshold T(u) = 2**((u - SLOPE_ANCHOR)/256), chosen
 #: so the reference's useful 42000-46000 slope range spans the useful
@@ -172,16 +172,21 @@ def _hull_slopes(pass_ends: Sequence[int], dists: Sequence[float],
         return []
     rates = [0] + list(pass_ends)
     dd = [dist0] + list(dists)
-    # convex hull (lower envelope) over (rate, dist)
+    # convex hull (lower envelope) over (rate, dist).  A pass that does not
+    # strictly reduce distortion below the current hull top is dominated
+    # (>= rate, >= dist) and is skipped — it must NOT pop the top, or a
+    # flat pass after a steep one would discard the best truncation point.
     hull = [0]
     for i in range(1, n + 1):
-        while len(hull) >= 1:
+        if dd[i] >= dd[hull[-1]]:
+            continue
+        while hull:
             j = hull[-1]
             if rates[i] <= rates[j]:
-                if dd[i] < dd[j]:
-                    hull.pop()
-                    continue
-                break
+                if j == 0:          # keep the zero-rate origin vertex
+                    break
+                hull.pop()          # same or less rate, strictly less dist
+                continue
             s_new = (dd[j] - dd[i]) / (rates[i] - rates[j])
             if len(hull) >= 2:
                 k = hull[-2]
@@ -189,9 +194,6 @@ def _hull_slopes(pass_ends: Sequence[int], dists: Sequence[float],
                 if s_new >= s_old:
                     hull.pop()
                     continue
-            if s_new <= 0:
-                hull.pop()
-                continue
             break
         hull.append(i)
     # slope per pass = hull-segment slope covering that pass
@@ -228,6 +230,23 @@ def _tile_template(H: int, W: int, levels: int, cb: int) -> List[Tuple]:
                 tpl.append((b, ty, tx, th, tw, g_rev, g_irr))
         _TEMPLATE_CACHE[key] = tpl
     return tpl
+
+
+_DIMS_CACHE: Dict[Tuple[int, int, int, int], Tuple[np.ndarray, np.ndarray]] \
+    = {}
+
+
+def _tile_dims(H: int, W: int, levels: int, cb: int
+               ) -> Tuple[np.ndarray, np.ndarray]:
+    """Per-template-tile true (th, tw) arrays for the device R-D sim."""
+    key = (H, W, levels, cb)
+    dims = _DIMS_CACHE.get(key)
+    if dims is None:
+        tpl = _tile_template(H, W, levels, cb)
+        dims = (np.asarray([t[3] for t in tpl], np.int32),
+                np.asarray([t[4] for t in tpl], np.int32))
+        _DIMS_CACHE[key] = dims
+    return dims
 
 
 @partial(jax.jit, static_argnames=("levels", "reversible", "cb"))
@@ -272,25 +291,40 @@ def _take_tiles(tiles: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
 
 def encode_frames_dispatch_sparse(planes, levels: int, reversible: bool,
                                   delta: float, codeblock_size: int):
-    """Stage 1 (sparse path): fused device DWT+quantize+tile, non-blocking."""
+    """Stage 1 (sparse path): fused device DWT+quantize+tile, non-blocking.
+
+    Also dispatches the device-side bp R-D simulation
+    (:func:`bp_device.bp_max_slope`) so the selection stage knows, per
+    block, the exact maximum distortion-length slope the coder could
+    achieve — before a single coefficient crosses the host link."""
     d = jnp.float32(delta)
     pl = jnp.asarray(planes)
-    tiles, maxabs, sse, ovf = _dwt_quant_tiles(pl, levels, reversible, d,
-                                               codeblock_size)
-    return (pl, tiles, maxabs, sse, ovf, levels, reversible, d,
-            codeblock_size)
+    cb = codeblock_size
+    tiles, maxabs, sse, ovf = _dwt_quant_tiles(pl, levels, reversible, d, cb)
+    N, nb = tiles.shape[0], tiles.shape[1]
+    H, W = pl.shape[1], pl.shape[2]
+    th, tw = _tile_dims(H, W, levels, cb)
+    smax, _d0 = bp_device.bp_max_slope(
+        tiles.reshape(N * nb, cb, cb),
+        jnp.asarray(np.tile(th, N)), jnp.asarray(np.tile(tw, N)))
+    return (pl, tiles, maxabs, smax.reshape(N, nb), ovf, levels, reversible,
+            d, cb)
 
 
-def encode_frames_select_sparse(pending, min_threshold: float):
+def encode_frames_select_sparse(pending, min_threshold: float,
+                                coder: str = "bp"):
     """Stage 2: fetch the tiny per-tile stats, pick the blocks worth coding
-    and dispatch the compact device gather.  A block is skipped when it is
-    all-zero, or when even coding it *entirely* could not reach the
-    truncation threshold (max achievable distortion-length slope =
-    total SSE / 1 byte < the block's min_slope) — strictly conservative,
-    the native coder's own early-stop would emit nothing that survives.
+    and dispatch the compact device gather.
+
+    A block is gathered iff it could contribute bytes to the truncated
+    stream: its maximum achievable weighted slope (= the first segment of
+    its R-D hull, computed exactly on device for the bp coder) reaches the
+    truncation threshold.  For the spec-MQ coder the bp byte counts are an
+    upper bound on the MQ rate, so the criterion is relaxed by the MQ
+    coder's plausible compaction margin (strictly conservative).
     """
-    (pl, tiles, maxabs, sse, ovf, levels, reversible, d, cb) = pending
-    maxabs_h, sse_h, ovf_h = jax.device_get((maxabs, sse, ovf))
+    (pl, tiles, maxabs, smax, ovf, levels, reversible, d, cb) = pending
+    maxabs_h, smax_h, ovf_h = jax.device_get((maxabs, smax, ovf))
     if bool(ovf_h):
         return ("packed", np.asarray(_dwt_quant32(pl, levels, reversible, d)),
                 None, None, levels, reversible, float(d), cb)
@@ -300,11 +334,13 @@ def encode_frames_select_sparse(pending, min_threshold: float):
     assert len(tpl) == nb, (len(tpl), nb)
     keep = (maxabs_h > 0)
     if min_threshold > 0:
+        # MQ typically compacts the raw bp bits ~2-4x; 32x margin is safe
+        margin = 1.0 if coder == "bp" else 32.0
         ms = np.empty(nb, np.float64)
         for i, (b, ty, tx, th, tw, g_rev, g_irr) in enumerate(tpl):
             w = g_rev if reversible else g_irr * float(d) * float(d)
-            ms[i] = min_threshold / w / 8.0
-        keep &= (sse_h >= ms[None, :])
+            ms[i] = min_threshold / w / margin
+        keep &= (smax_h >= ms[None, :])
     flat_idx = np.flatnonzero(keep.ravel()).astype(np.int32)
     compact = _take_tiles(tiles, jnp.asarray(flat_idx))
     return ("sparse", compact, flat_idx, (N, nb, maxabs_h), levels,
@@ -427,7 +463,7 @@ def encode_frames(planes, levels: int, reversible: bool = True,
     pending = encode_frames_dispatch_sparse(planes, levels, reversible,
                                             delta, codeblock_size)
     H, W = pending[0].shape[1], pending[0].shape[2]
-    selected = encode_frames_select_sparse(pending, min_threshold)
+    selected = encode_frames_select_sparse(pending, min_threshold, coder)
     return encode_frames_finish_sparse(selected, H, W, min_threshold, coder)
 
 

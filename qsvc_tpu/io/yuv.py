@@ -80,6 +80,56 @@ def write_yuv(path: str, video: Video) -> None:
             f.write(np.ascontiguousarray(video.v[i], dtype=np.uint8).tobytes())
 
 
+def read_vix(path: str) -> Video:
+    """Read a VIX container (the reference's ``vix2raw.c`` input format):
+    a text header — magic line, video section (2 lines), color section
+    (2 lines), image section (2 lines + ``x y c`` dims + ``c`` subsampling
+    pairs) — followed by the raw planar payload."""
+    with open(path, "rb") as f:
+        for _ in range(7):                  # magic + 3 sections x 2 lines
+            f.readline()
+        dims = f.readline().split()
+        x, y, c = int(dims[0]), int(dims[1]), int(dims[2])
+        ss = []
+        toks: list = []
+        while len(toks) < 2 * c:
+            toks += f.readline().split()
+        for i in range(c):
+            ss.append((int(toks[2 * i]), int(toks[2 * i + 1])))
+        payload = f.read()
+    fsz = sum((x // sx) * (y // sy) for sx, sy in ss)
+    n = len(payload) // fsz
+    data = np.frombuffer(payload, np.uint8, count=n * fsz).reshape(n, fsz)
+    ysz = x * y
+    csz = (x // ss[1][0]) * (y // ss[1][1]) if c > 1 else 0
+    yv = data[:, :ysz].reshape(n, y, x)
+    if c > 1:
+        u = data[:, ysz:ysz + csz].reshape(n, y // ss[1][1], x // ss[1][0])
+        v = data[:, ysz + csz:ysz + 2 * csz].reshape(
+            n, y // ss[2][1], x // ss[2][0])
+    else:
+        u = np.full((n, y // 2, x // 2), 128, np.uint8)
+        v = np.full((n, y // 2, x // 2), 128, np.uint8)
+    return Video(yv.copy(), u.copy(), v.copy())
+
+
+def vix_to_raw(in_path: str, out_path: str) -> int:
+    """Strip the VIX header, writing the raw payload (``vix2raw.c:22-121``).
+    Returns payload bytes written."""
+    with open(in_path, "rb") as f:
+        for _ in range(7):
+            f.readline()
+        dims = f.readline().split()
+        c = int(dims[2])
+        toks: list = []
+        while len(toks) < 2 * c:
+            toks += f.readline().split()
+        payload = f.read()
+    with open(out_path, "wb") as f:
+        f.write(payload)
+    return len(payload)
+
+
 def synthetic_video(frames: int, height: int, width: int,
                     seed: int = 0, kind: str = "moving") -> Video:
     """Deterministic synthetic test sequences.

@@ -169,26 +169,30 @@ def spatial_truncate(vs: VideoStream, discard_SRLs: int) -> VideoStream:
 def _all_increments(vs: VideoStream):
     """Flatten every (block, pass) increment with location metadata.
 
-    Yields (subband_row, layer_rank, gain, slope, nbytes, block, pass_idx)
-    where subband_row 0 = L, s = H_{TRLs-s} (texture only; motion and
-    headers count as mandatory overhead).
+    Yields ``(subband_row, slope, nbytes, block, pass_idx, gop)`` where
+    subband_row 0 = L, s = H_{TRLs-s} (texture only; motion and headers
+    count as mandatory overhead) and ``gop`` is the GOP a frame belongs
+    to (frame index scaled by the level's pair stride — the per-GOP
+    algorithms SR/ISR allocate within GOPs, transcode.py:2102-2160).
     """
     cfg = vs.cfg
     out = []
 
-    def walk(frames, row):
+    def walk(frames, row, pairs_per_gop):
         for fi, fr in enumerate(frames):
+            gop = fi // pairs_per_gop if pairs_per_gop else 0
             for comp, ef in fr.items():
                 for blk in ef.blocks:
                     prev = 0
                     for p, (end, s) in enumerate(zip(blk.pass_ends,
                                                      blk.pass_slopes)):
-                        out.append((row, s, end - prev, blk, p))
+                        out.append((row, s, end - prev, blk, p, gop))
                         prev = end
 
-    walk(vs.low, 0)
+    walk(vs.low, 0, 1)
     for t, lev in enumerate(vs.levels, start=1):
-        walk(lev.high, cfg.TRLs - t)
+        # level t (finest=1) holds gop_size/2**t frame pairs per GOP
+        walk(lev.high, cfg.TRLs - t, max(cfg.gop_size >> t, 1))
     return out
 
 
@@ -220,10 +224,54 @@ def _apply_selection(vs: VideoStream, keep_passes: Dict[int, int]
     return VideoStream(vs.cfg, vs.reversible, vs.delta, low, levels)
 
 
+def _greedy_ordered(incs, budget: int, keep: Dict[int, int],
+                    skip_over_budget: bool) -> int:
+    """Walk pre-ordered increments, keeping causal pass prefixes per block
+    until ``budget`` bytes are spent.  Returns bytes spent."""
+    spent = 0
+    for row, slope, nbytes, blk, p, gop in incs:
+        # a pass can only be kept if all earlier passes of its block are
+        if keep.get(id(blk), 0) != p:
+            continue
+        if spent + nbytes > budget:
+            if skip_over_budget:
+                continue     # try later (smaller) increments
+            break
+        keep[id(blk)] = p + 1
+        spent += nbytes
+    return spent
+
+
 def select_for_rate(vs: VideoStream, budget_bytes: int,
                     algorithm: str = "FS") -> VideoStream:
     """Rate-controlled extraction: pick pass increments to fit a byte
-    budget under a given ordering policy."""
+    budget under a given ordering policy.
+
+    Global orderings (whole video at once):
+
+    * ``FS``   — globally R-D-optimal greedy over recorded slopes (the
+      steepest-slope search of ``BRC_BruteForce``, transcode.py:1307-1489,
+      without the decode probes);
+    * ``PTS``  — progressive by temporal subband, L first then coarse->fine
+      H (``for_Subbands__rmse_low0``, transcode.py:886);
+    * ``ITS``  — subband-progressive like PTS but the H order is *measured*
+      per stream (subbands sorted by recorded distortion-per-byte benefit,
+      the data-driven ordering of ``MCJ2K_for_Subbands__rmse_lowx``,
+      transcode.py:804);
+    * ``PTL``  — progressive by quality layer, layers interleaved across
+      subbands (``for_Layers``, transcode.py:959);
+    * ``AmPTL``— gain-weighted layer interleave (``Gains_Layers``,
+      transcode.py:1029).
+
+    Per-GOP orderings (budget shared per GOP, transcode.py:2102-2160):
+
+    * ``SR``   — within each GOP, advance one whole (subband, pass-rank)
+      step at a time, choosing the step with the best aggregate slope from
+      the previous point (``OneSub_ForAll_PtAnterior``, transcode.py:1490);
+    * ``ISR``  — subbands treated independently within each GOP: a common
+      slope threshold is bisected so the per-GOP total fits the share
+      (``Sub_Independents``, transcode.py:1623).
+    """
     cfg = vs.cfg
     incs = _all_increments(vs)
     mandatory = sum(sum(len(dd) for dd, _, _ in m["parts"])
@@ -232,13 +280,29 @@ def select_for_rate(vs: VideoStream, budget_bytes: int,
 
     gains = ([1.0] + list(reversed(GAINS.get(cfg.TRLs, [1.0]))))  # row-index
 
+    if algorithm in ("SR", "ISR"):
+        return _apply_selection(vs, _select_per_gop(incs, budget, algorithm))
+
+    if algorithm == "ITS":
+        # measured subband order: average recorded slope per byte, L first
+        mass: Dict[int, List[float]] = {}
+        for row, slope, nbytes, blk, p, gop in incs:
+            b, d = mass.setdefault(row, [0.0, 0.0])
+            mass[row][0] += nbytes
+            mass[row][1] += slope * nbytes
+        rank = {row: (0 if row == 0 else 1,
+                      -(v[1] / v[0] if v[0] else 0.0))
+                for row, v in mass.items()}
+
     def order_key(item):
-        row, slope, nbytes, blk, p = item
+        row, slope, nbytes, blk, p, gop = item
         if algorithm == "FS":
             return (-slope,)
         if algorithm == "PTS":
             # subband-progressive: L fully first, then coarse H -> fine H
             return (row, -slope)
+        if algorithm == "ITS":
+            return (rank[row], -slope)
         if algorithm == "PTL":
             # layer-progressive: interleave by layer rank (pass index as a
             # proxy for layer), then slope
@@ -250,18 +314,106 @@ def select_for_rate(vs: VideoStream, budget_bytes: int,
 
     incs.sort(key=order_key)
     keep: Dict[int, int] = {}
-    spent = 0
-    for row, slope, nbytes, blk, p in incs:
-        # a pass can only be kept if all earlier passes of its block are
-        if keep.get(id(blk), 0) != p:
-            continue
-        if spent + nbytes > budget:
-            if algorithm == "FS":
-                continue     # try later (smaller) increments
-            break
-        keep[id(blk)] = p + 1
-        spent += nbytes
+    _greedy_ordered(incs, budget, keep, skip_over_budget=(algorithm == "FS"))
     return _apply_selection(vs, keep)
+
+
+def _select_per_gop(incs, budget: int, algorithm: str) -> Dict[int, int]:
+    """Per-GOP budget allocation (SR / ISR policies)."""
+    by_gop: Dict[int, list] = {}
+    for item in incs:
+        by_gop.setdefault(item[5], []).append(item)
+    ngops = max(len(by_gop), 1)
+    keep: Dict[int, int] = {}
+    share = budget // ngops
+    carry = budget - share * ngops          # leftover bytes ride along
+    for gop in sorted(by_gop):
+        items = by_gop[gop]
+        b = share + carry
+        if algorithm == "SR":
+            spent = _select_sr(items, b, keep)
+        else:
+            spent = _select_isr(items, b, keep)
+        carry = b - spent
+    return keep
+
+
+def _select_sr(items, budget: int, keep: Dict[int, int]) -> int:
+    """Greedy (subband, pass-rank) steps by aggregate slope."""
+    # aggregate each (row, p) step: total bytes + byte-weighted slope
+    steps: Dict[Tuple[int, int], List] = {}
+    for row, slope, nbytes, blk, p, gop in items:
+        st = steps.setdefault((row, p), [0.0, 0.0, []])
+        st[0] += nbytes
+        st[1] += slope * nbytes
+        st[2].append((blk, p, nbytes))
+    # order: per subband the pass ranks are causal; across subbands pick
+    # best aggregate slope first, never skipping a rank within a subband
+    by_row: Dict[int, List[Tuple[int, float, float, list]]] = {}
+    for (row, p), (nb, sw, blks) in steps.items():
+        by_row.setdefault(row, []).append((p, nb, sw / max(nb, 1e-12), blks))
+    for row in by_row:
+        by_row[row].sort()
+    cursor = {row: 0 for row in by_row}
+    spent = 0
+    while True:
+        best = None
+        for row, lst in by_row.items():
+            c = cursor[row]
+            if c >= len(lst):
+                continue
+            p, nb, s, blks = lst[c]
+            if best is None or s > best[1]:
+                best = (row, s, nb, blks)
+        if best is None:
+            break
+        row, s, nb, blks = best
+        if spent + nb > budget:
+            break
+        for blk, p, nbytes in blks:
+            if keep.get(id(blk), 0) == p:
+                keep[id(blk)] = p + 1
+        spent += nb
+        cursor[row] += 1
+    return spent
+
+
+def _select_isr(items, budget: int, keep: Dict[int, int]) -> int:
+    """Common-slope-threshold bisection, subbands independent."""
+    slopes = sorted({s for _, s, _, _, _, _ in items}, reverse=True)
+
+    def spend_at(thr: float) -> int:
+        total = 0
+        prefix: Dict[int, int] = {}
+        for row, slope, nbytes, blk, p, gop in items:
+            if slope >= thr and prefix.get(id(blk), -1) == p - 1:
+                prefix[id(blk)] = p
+                total += nbytes
+        return total
+
+    # bisect over the discrete slope set (largest threshold whose cost fits)
+    lo, hi = 0, len(slopes) - 1
+    best_thr = None
+    while lo <= hi:
+        mid = (lo + hi) // 2
+        if spend_at(slopes[mid]) <= budget:
+            best_thr = slopes[mid]
+            lo = mid + 1
+        else:
+            hi = mid - 1
+    if best_thr is None:
+        return 0
+    spent = 0
+    prefix: Dict[int, int] = {}
+    for row, slope, nbytes, blk, p, gop in items:
+        causal = (p == 0 or prefix.get(id(blk), -1) == p - 1)
+        if slope >= best_thr and causal:
+            prefix[id(blk)] = p
+            n0 = keep.get(id(blk), 0)
+            if n0 == p:
+                keep[id(blk)] = p + 1
+            spent += nbytes
+    return spent
 
 
 # ------------------------------------------------------------------ driver

@@ -67,7 +67,7 @@ def test_spatial_extraction(encoded):
 def test_brc_rate_targeting(encoded):
     cfg, vid, vs = encoded
     full = len(vs.to_bytes())
-    for alg in ("FS", "PTS", "PTL", "AmPTL"):
+    for alg in ("FS", "PTS", "ITS", "PTL", "AmPTL", "SR", "ISR"):
         target = full // 3
         t = extract.select_for_rate(vs, target, alg)
         got = sum(b for b in t.texture_bytes().values()) + \

@@ -18,13 +18,15 @@ NDEV = len(jax.devices())
 
 @pytest.fixture(scope="module")
 def setup():
-    # small on purpose: XLA-CPU compiles of 8-virtual-device shard_maps take
-    # minutes; 4 devices x TRLs=2 covers the same halo/collective paths
-    G = min(NDEV, 4)
-    cfg = CodecConfig(pixels_in_x=64, pixels_in_y=48, TRLs=2, GOPs=G,
-                      block_size=16, search_range=4, update_factor=0.25,
+    # tiny on purpose: XLA-CPU compiles of multi-device shard_maps take
+    # minutes at any real size; 2 devices x TRLs=2 x search_range=2 covers
+    # the same halo/collective paths (the driver's dryrun_multichip and the
+    # real-TPU bench exercise the large shapes)
+    G = min(NDEV, 2)
+    cfg = CodecConfig(pixels_in_x=32, pixels_in_y=32, TRLs=2, GOPs=G,
+                      block_size=16, search_range=2, update_factor=0.25,
                       quantization_texture=0, SRLs=3)
-    vid = synthetic_video(cfg.pictures, 48, 64, seed=21)
+    vid = synthetic_video(cfg.pictures, 32, 32, seed=21)
     y = vid.y.astype(np.int32)
     u = vid.u.astype(np.int32)
     v = vid.v.astype(np.int32)
@@ -35,7 +37,7 @@ def setup():
 def test_shard_unshard_roundtrip(setup):
     cfg, y, u, v = setup
     g = pmesh.shard_gops(y, cfg.gop_size)
-    assert g.shape == (cfg.GOPs, cfg.gop_size + 1, 48, 64)
+    assert g.shape == (cfg.GOPs, cfg.gop_size + 1, 32, 32)
     back = pmesh.unshard_gops(g)
     np.testing.assert_array_equal(back, y)
 
