@@ -11,7 +11,6 @@ arrays instead of files.
 from __future__ import annotations
 
 import math
-from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass
 from typing import Dict, List, Optional, Tuple
 
@@ -56,19 +55,9 @@ def _decode_plane_set(frames: List[Dict[str, frame_codec.EncodedFrame]],
     return ys, us, vs
 
 
-def compress(video: Video, cfg: CodecConfig, reversible: bool = True,
-             delta: Optional[float] = None, lossless: Optional[bool] = None
-             ) -> VideoStream:
-    """Encode a video to a :class:`VideoStream`.
-
-    ``reversible``: use the integer 5/3 texture path (plus no quantization)
-    — with ``lossless=True`` (default when reversible and
-    ``quantization_texture <= 0``) nothing is truncated and intra-only
-    streams decode bit-exactly.  Otherwise blocks are truncated at the
-    per-subband slope thresholds from ``cfg.slopes()``
-    (texture_compress.py:148-176 rate-allocation policy).
-    """
-    cfg.validate()
+def _operating_point(cfg: CodecConfig, reversible: bool,
+                     delta: Optional[float], lossless: Optional[bool]
+                     ) -> Tuple[float, bool, str]:
     if lossless is None:
         lossless = reversible and cfg.quantization_texture <= 0
     if delta is None:
@@ -83,19 +72,48 @@ def compress(video: Video, cfg: CodecConfig, reversible: bool = True,
             delta = 0.125
     from .codec import fast as _fast
     coder = cfg.texture_coder if _fast.available() else "mq"
-    # upload 1 byte/pixel; widening happens on device inside analyze
-    y = jnp.asarray(np.asarray(video.y, np.uint8))
-    u = jnp.asarray(np.asarray(video.u, np.uint8))
-    v = jnp.asarray(np.asarray(video.v, np.uint8))
+    return delta, lossless, coder
+
+
+def compress_dispatch(video: Video, cfg: CodecConfig,
+                      reversible: bool = True,
+                      delta: Optional[float] = None,
+                      lossless: Optional[bool] = None) -> dict:
+    """Dispatch the device side of an encode without blocking.
+
+    Uploads the frames (1 byte/pixel), queues the MCTF analyze, the fused
+    texture DWT+quantize+tile+R-D-sim over TWO consolidated stacks, and
+    the motion-field decorrelation.  Nothing is fetched: the returned
+    pending handle can sit in flight while further sequences (the next
+    GOPs of a stream) are dispatched behind it — the pipelined path that
+    overlaps host->device uploads with device compute.
+
+    Every temporal subband keeps the full spatial resolution (MCTF is a
+    purely temporal transform), so the low band and all high bands
+    concatenate into one luma and one chroma stack — 2 fused device
+    programs instead of 3*TRLs, ONE round trip for the per-tile stats and
+    ONE for the compacted code-blocks (each host<->device round trip
+    costs ~30 ms over a tunneled chip).
+    """
+    cfg.validate()
+    delta, lossless, coder = _operating_point(cfg, reversible, delta,
+                                              lossless)
+    # upload 1 byte/pixel; widening happens on device inside analyze.
+    # Planes already resident on device pass through untouched.
+    def up(x):
+        if isinstance(x, jax.Array):
+            return x
+        return jnp.asarray(np.asarray(x, np.uint8))
+
+    y, u, v = up(video.y), up(video.u), up(video.v)
     if cfg.TRLs > 1:
         stream = transform.analyze_jit(y, u, v, cfg)
     else:
-        stream = transform.MCTFStream(y.astype(jnp.int32),
-                                      u.astype(jnp.int32),
-                                      v.astype(jnp.int32), ())
+        stream = transform.MCTFStream(y.astype(jnp.int16),
+                                      u.astype(jnp.int16),
+                                      v.astype(jnp.int16), ())
     srl_levels = cfg.SRLs - 1
     cb = cfg.codeblock_size
-
     slopes = cfg.slopes()
 
     def thr(row: int) -> float:
@@ -103,51 +121,89 @@ def compress(video: Video, cfg: CodecConfig, reversible: bool = True,
             return 0.0
         return slope_to_threshold(slopes[row][0])
 
+    luma_planes = [stream.low_y]
+    chroma_planes = [stream.low_u, stream.low_v]
+    luma_thr = [np.full(stream.low_y.shape[0], thr(0))]
+    chroma_thr = [np.full(2 * stream.low_u.shape[0], thr(0))]
+    for t, lev in enumerate(stream.levels, start=1):
+        mt = thr(cfg.TRLs - t)
+        luma_planes.append(lev.high_y)
+        chroma_planes += [lev.high_u, lev.high_v]
+        luma_thr.append(np.full(lev.high_y.shape[0], mt))
+        chroma_thr.append(np.full(2 * lev.high_u.shape[0], mt))
+    luma = jnp.concatenate(luma_planes)
+    chroma = jnp.concatenate(chroma_planes)
+
+    pend_l = frame_codec.encode_frames_dispatch_sparse(
+        luma, srl_levels, reversible, delta, cb)
+    pend_c = frame_codec.encode_frames_dispatch_sparse(
+        chroma, srl_levels, reversible, delta, cb)
+
+    mv_fields = [lev.mv for lev in stream.levels]
+    residues_dev = (motion_coding.decorrelate_jit(mv_fields)
+                    if mv_fields else [])
+
+    return dict(cfg=cfg, reversible=reversible, delta=delta,
+                lossless=lossless, coder=coder, stream=stream,
+                luma_shape=luma.shape, chroma_shape=chroma.shape,
+                luma_thr=np.concatenate(luma_thr),
+                chroma_thr=np.concatenate(chroma_thr),
+                pend_l=pend_l, pend_c=pend_c, residues_dev=residues_dev,
+                thr=thr)
+
+
+def compress_finish(pending: dict) -> VideoStream:
+    """Drain one dispatched encode: fetch stats (one round trip), select
+    and gather the surviving code-blocks (one round trip), entropy-code
+    them natively, and assemble the stream container."""
+    cfg = pending["cfg"]
+    stream = pending["stream"]
+    coder = pending["coder"]
+    pend_l, pend_c = pending["pend_l"], pending["pend_c"]
+    luma_thr, chroma_thr = pending["luma_thr"], pending["chroma_thr"]
+    thr = pending["thr"]
+
+    # one batched fetch: tiny per-tile stats of both stacks + MV residues
+    (stats_l, stats_c, residues) = jax.device_get(
+        ((pend_l[2], pend_l[3], pend_l[4]),
+         (pend_c[2], pend_c[3], pend_c[4]), pending["residues_dev"]))
+
+    sel_l = frame_codec.encode_frames_select_sparse(pend_l, luma_thr, coder,
+                                                    stats=stats_l)
+    sel_c = frame_codec.encode_frames_select_sparse(pend_c, chroma_thr,
+                                                    coder, stats=stats_c)
+    # one batched fetch: both compacted code-block stacks
+    comp_l, comp_c = jax.device_get((sel_l[1], sel_c[1]))
+    sel_l = sel_l[:1] + (comp_l,) + sel_l[2:]
+    sel_c = sel_c[:1] + (comp_c,) + sel_c[2:]
+    (_, Hl, Wl) = pending["luma_shape"]
+    (_, Hc, Wc) = pending["chroma_shape"]
+    enc_l = frame_codec.encode_frames_finish_sparse(
+        sel_l, Hl, Wl, luma_thr, coder)
+    enc_c = frame_codec.encode_frames_finish_sparse(
+        sel_c, Hc, Wc, chroma_thr, coder)
+
     def trunc(frames, row):
         t = thr(row)
         if t <= 0:
             return frames
         return [{c: ef.truncate(t) for c, ef in fr.items()} for fr in frames]
 
-    # Pipelined texture encode: dispatch every component stack's fused
-    # device DWT+quantize+tile first (device work overlaps), fetch only the
-    # tiny per-tile significance stats, gather and transfer only the
-    # code-blocks that will actually be coded, and run the native entropy
-    # coder on a worker while this thread drains the next stack's transfer
-    # (ctypes releases the GIL).
-    stacks = [(stream.low_y, thr(0)), (stream.low_u, thr(0)),
-              (stream.low_v, thr(0))]
-    for t, lev in enumerate(stream.levels, start=1):
-        mt = thr(cfg.TRLs - t)
-        stacks += [(lev.high_y, mt), (lev.high_u, mt), (lev.high_v, mt)]
-    pendings = [frame_codec.encode_frames_dispatch_sparse(
-        p, srl_levels, reversible, delta, cb) for (p, _) in stacks]
+    # slice the consolidated results back into per-subband plane sets
+    def plane_set(lo_y, lo_c, n):
+        return [{"y": enc_l[lo_y + i], "u": enc_c[lo_c + i],
+                 "v": enc_c[lo_c + n + i]} for i in range(n)]
 
-    mv_fields = [lev.mv for lev in stream.levels]
-    residues = (jax.device_get(motion_coding.decorrelate_jit(mv_fields))
-                if mv_fields else [])
-
-    selecteds = [frame_codec.encode_frames_select_sparse(pend, mt, coder)
-                 for pend, (_, mt) in zip(pendings, stacks)]
-    with ThreadPoolExecutor(max_workers=1) as ex:
-        futs = []
-        for sel, pend, (_, mt) in zip(selecteds, pendings, stacks):
-            H, W = pend[0].shape[1], pend[0].shape[2]
-            if sel[0] == "sparse":
-                sel = sel[:1] + (np.asarray(sel[1]),) + sel[2:]
-            futs.append(ex.submit(frame_codec.encode_frames_finish_sparse,
-                                  sel, H, W, mt, coder))
-        encoded = [f.result() for f in futs]
-
-    def plane_set(idx):
-        return [{"y": a, "u": b, "v": c} for a, b, c in
-                zip(encoded[idx], encoded[idx + 1], encoded[idx + 2])]
-
-    low = trunc(plane_set(0), 0)
+    n0 = stream.low_y.shape[0]
+    low = trunc(plane_set(0, 0, n0), 0)
 
     levels: List[LevelSection] = []
+    oy, oc = n0, 2 * n0
     for t, lev in enumerate(stream.levels, start=1):
-        high = trunc(plane_set(3 * t), cfg.TRLs - t)
+        p = lev.high_y.shape[0]
+        high = trunc(plane_set(oy, oc, p), cfg.TRLs - t)
+        oy += p
+        oc += 2 * p
         res = np.asarray(residues[t - 1])
         motion = [codestream.encode_motion_field(res[i])
                   for i in range(res.shape[0])]
@@ -155,7 +211,67 @@ def compress(video: Video, cfg: CodecConfig, reversible: bool = True,
                        for b in np.asarray(lev.is_B))
         levels.append(LevelSection(high, motion, ftypes))
 
-    return VideoStream(cfg, reversible, delta, low, levels)
+    return VideoStream(cfg, pending["reversible"], pending["delta"], low,
+                       levels)
+
+
+def compress(video: Video, cfg: CodecConfig, reversible: bool = True,
+             delta: Optional[float] = None, lossless: Optional[bool] = None
+             ) -> VideoStream:
+    """Encode a video to a :class:`VideoStream`.
+
+    ``reversible``: use the integer 5/3 texture path (plus no quantization)
+    — with ``lossless=True`` (default when reversible and
+    ``quantization_texture <= 0``) nothing is truncated and intra-only
+    streams decode bit-exactly.  Otherwise blocks are truncated at the
+    per-subband slope thresholds from ``cfg.slopes()``
+    (texture_compress.py:148-176 rate-allocation policy).
+    """
+    return compress_finish(compress_dispatch(video, cfg, reversible, delta,
+                                             lossless))
+
+
+def compress_gops(video: Video, cfg: CodecConfig, reversible: bool = True,
+                  delta: Optional[float] = None,
+                  lossless: Optional[bool] = None,
+                  window: int = 2) -> List[VideoStream]:
+    """Streaming encode: one self-contained :class:`VideoStream` per GOP,
+    pipelined ``window`` GOPs deep.
+
+    GOPs are closed units sharing only their boundary frame (the open-GOP
+    rule, reference GOP.py:22-23); encoding them independently makes each
+    GOP separately decodable/shippable (the reference's per-GOP transcode
+    loop, transcode.py:2102-2127) and lets GOP ``g+1``'s upload and device
+    transform run while GOP ``g``'s code-blocks are fetched and
+    entropy-coded — steady-state throughput is max(upload, device, host)
+    instead of their sum.
+    """
+    cfg.validate()
+    S = cfg.gop_size
+    gop_cfg = cfg.replace(GOPs=1)
+    pendings: List[dict] = []
+    out: List[VideoStream] = []
+    for g in range(cfg.GOPs):
+        chunk = Video(video.y[g * S:(g + 1) * S + 1],
+                      video.u[g * S:(g + 1) * S + 1],
+                      video.v[g * S:(g + 1) * S + 1])
+        pendings.append(compress_dispatch(chunk, gop_cfg, reversible,
+                                          delta, lossless))
+        if len(pendings) > window:
+            out.append(compress_finish(pendings.pop(0)))
+    while pendings:
+        out.append(compress_finish(pendings.pop(0)))
+    return out
+
+
+def expand_gops(streams: List[VideoStream], **kw) -> Video:
+    """Decode a per-GOP stream list back to one sequence (drops the
+    duplicated shared boundary frames)."""
+    vids = [expand(vs, **kw) for vs in streams]
+    y = np.concatenate([v.y[:-1] for v in vids] + [vids[-1].y[-1:]])
+    u = np.concatenate([v.u[:-1] for v in vids] + [vids[-1].u[-1:]])
+    v_ = np.concatenate([v.v[:-1] for v in vids] + [vids[-1].v[-1:]])
+    return Video(y, u, v_)
 
 
 def expand(vs: VideoStream, threshold: float = 0.0,

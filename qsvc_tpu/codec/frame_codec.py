@@ -311,8 +311,8 @@ def encode_frames_dispatch_sparse(planes, levels: int, reversible: bool,
             d, cb)
 
 
-def encode_frames_select_sparse(pending, min_threshold: float,
-                                coder: str = "bp"):
+def encode_frames_select_sparse(pending, min_threshold, coder: str = "bp",
+                                stats=None):
     """Stage 2: fetch the tiny per-tile stats, pick the blocks worth coding
     and dispatch the compact device gather.
 
@@ -322,9 +322,18 @@ def encode_frames_select_sparse(pending, min_threshold: float,
     truncation threshold.  For the spec-MQ coder the bp byte counts are an
     upper bound on the MQ rate, so the criterion is relaxed by the MQ
     coder's plausible compaction margin (strictly conservative).
+
+    ``min_threshold``: scalar, or per-frame (N,) array when the stack mixes
+    subbands with different operating points (the consolidated-stack path).
+    ``stats``: optionally the already-fetched host values of
+    ``(maxabs, smax, ovf)`` — the pipelined caller batches those fetches
+    across stacks into one round trip.
     """
     (pl, tiles, maxabs, smax, ovf, levels, reversible, d, cb) = pending
-    maxabs_h, smax_h, ovf_h = jax.device_get((maxabs, smax, ovf))
+    if stats is None:
+        maxabs_h, smax_h, ovf_h = jax.device_get((maxabs, smax, ovf))
+    else:
+        maxabs_h, smax_h, ovf_h = stats
     if bool(ovf_h):
         return ("packed", np.asarray(_dwt_quant32(pl, levels, reversible, d)),
                 None, None, levels, reversible, float(d), cb)
@@ -332,15 +341,16 @@ def encode_frames_select_sparse(pending, min_threshold: float,
     H, W = pl.shape[1], pl.shape[2]
     tpl = _tile_template(H, W, levels, cb)
     assert len(tpl) == nb, (len(tpl), nb)
+    thr = np.broadcast_to(np.asarray(min_threshold, np.float64), (N,))
     keep = (maxabs_h > 0)
-    if min_threshold > 0:
+    if np.any(thr > 0):
         # MQ typically compacts the raw bp bits ~2-4x; 32x margin is safe
         margin = 1.0 if coder == "bp" else 32.0
-        ms = np.empty(nb, np.float64)
+        wts = np.empty(nb, np.float64)
         for i, (b, ty, tx, th, tw, g_rev, g_irr) in enumerate(tpl):
-            w = g_rev if reversible else g_irr * float(d) * float(d)
-            ms[i] = min_threshold / w / margin
-        keep &= (smax_h >= ms[None, :])
+            wts[i] = g_rev if reversible else g_irr * float(d) * float(d)
+        ms = thr[:, None] / wts[None, :] / margin        # (N, nb)
+        keep &= (smax_h >= ms)
     flat_idx = np.flatnonzero(keep.ravel()).astype(np.int32)
     compact = _take_tiles(tiles, jnp.asarray(flat_idx))
     return ("sparse", compact, flat_idx, (N, nb, maxabs_h), levels,
@@ -348,15 +358,20 @@ def encode_frames_select_sparse(pending, min_threshold: float,
 
 
 def encode_frames_finish_sparse(selected, H: int, W: int,
-                                min_threshold: float, coder: str
+                                min_threshold, coder: str
                                 ) -> List[EncodedFrame]:
-    """Stage 3: fetch compact tiles, run the native coder on them only."""
+    """Stage 3: fetch compact tiles, run the native coder on them only.
+
+    ``min_threshold``: scalar or per-frame (N,) array (see select stage).
+    """
     (mode, data, flat_idx, stats, levels, reversible, delta, cb) = selected
     if mode == "packed":
         return encode_frames_host(data, levels, reversible, delta, cb,
                                   min_threshold, coder)
     compact = np.asarray(data)           # (K, cb, cb) int16
     N, nb, maxabs_h = stats
+    thr = np.broadcast_to(np.asarray(min_threshold, np.float64), (N,))
+    any_thr = bool(np.any(thr > 0))
     tpl = _tile_template(H, W, levels, cb)
     K = compact.shape[0]
     tiles_meta: List[Tuple] = []
@@ -369,12 +384,11 @@ def encode_frames_finish_sparse(selected, H: int, W: int,
         w = g_rev if reversible else g_irr * delta * delta
         tiles_meta.append((k, 0, 0, th, tw))
         bands.append(b.band)
-        min_slopes.append(min_threshold / w / 8.0 if min_threshold > 0
-                          else 0.0)
+        min_slopes.append(thr[n] / w / 8.0 if thr[n] > 0 else 0.0)
         metas.append((n, b, ty, tx, th, tw, w))
     encoded = fast.encode_packed_planes(
         compact, tiles_meta, bands,
-        min_slopes if min_threshold > 0 else None, coder=coder)
+        min_slopes if any_thr else None, coder=coder)
     per_frame: List[List[EncodedBlock]] = [[] for _ in range(N)]
     coded = {}
     for cbk, (n, b, ty, tx, th, tw, w) in zip(encoded, metas):
@@ -416,10 +430,12 @@ def encode_frames_fetch(pending) -> np.ndarray:
 
 def encode_frames_host(packed_all: np.ndarray, levels: int, reversible: bool,
                        delta: float, codeblock_size: int,
-                       min_threshold: float, coder: str
+                       min_threshold, coder: str
                        ) -> List[EncodedFrame]:
     """Stage 3: native entropy coding of fetched planes (CPU-bound)."""
     N, H, W = packed_all.shape
+    thr = np.broadcast_to(np.asarray(min_threshold, np.float64), (N,))
+    any_thr = bool(np.any(thr > 0))
     tpl = _tile_template(H, W, levels, codeblock_size)
     tiles_meta: List[Tuple] = []
     bands: List[str] = []
@@ -431,10 +447,9 @@ def encode_frames_host(packed_all: np.ndarray, levels: int, reversible: bool,
             tiles_meta.append((n, b.y0 + ty, b.x0 + tx, th, tw))
             bands.append(b.band)
             meta.append((n, b, ty, tx, th, tw, w))
-            min_slopes.append(min_threshold / w / 8.0
-                              if min_threshold > 0 else 0.0)
+            min_slopes.append(thr[n] / w / 8.0 if thr[n] > 0 else 0.0)
     encoded = fast.encode_packed_planes(packed_all, tiles_meta, bands,
-                                        min_slopes if min_threshold > 0
+                                        min_slopes if any_thr
                                         else None, coder=coder)
     per_frame: List[List[EncodedBlock]] = [[] for _ in range(N)]
     for cb, (n, b, ty, tx, th, tw, w) in zip(encoded, meta):

@@ -124,8 +124,10 @@ def _refine_level(pred: jnp.ndarray, ref_prev: jnp.ndarray,
         # motion_estimate.cpp:89-101)
         sl_p = patches_p[:, :, 1 + dy:1 + dy + win, 1 + dx:1 + dx + win]
         sl_n = patches_n[:, :, 1 - dy:1 - dy + win, 1 - dx:1 - dx + win]
-        err_p = jnp.sum(jnp.abs(predw - sl_p), axis=(2, 3))
-        err_n = jnp.sum(jnp.abs(predw - sl_n), axis=(2, 3))
+        # SAD accumulates past int16 (window sums reach ~1e6): widen the
+        # per-pixel |diff| (always < 2^15) before the reduction
+        err_p = jnp.sum(jnp.abs(predw - sl_p).astype(jnp.int32), axis=(2, 3))
+        err_n = jnp.sum(jnp.abs(predw - sl_n).astype(jnp.int32), axis=(2, 3))
         take_p = err_p <= best_err_p           # later probe wins ties
         take_n = err_n <= best_err_n
         best_err_p = jnp.where(take_p, err_p, best_err_p)

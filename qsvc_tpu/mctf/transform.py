@@ -154,8 +154,15 @@ def analyze(y: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray,
             cfg: CodecConfig) -> MCTFStream:
     """Forward MCTF of a (2k+1)-frame sequence; planes in [0,255] (any
     integer dtype — uint8 inputs are widened on device, so the host upload
-    stays 1 byte/pixel)."""
-    low = (y.astype(jnp.int32), u.astype(jnp.int32), v.astype(jnp.int32))
+    stays 1 byte/pixel).
+
+    All temporal-transform arithmetic runs in int16 (values stay within
+    [-32768, 32767] throughout: pixels, 4:4:4 interpolations, residues and
+    update contributions are all < 2^10 in magnitude); reductions that can
+    exceed 16 bits (ME SAD sums, update collision accumulation, entropy
+    histograms) widen locally.  Halving the element width halves the HBM
+    traffic of the memory-bound MC/lifting steps."""
+    low = (y.astype(jnp.int16), u.astype(jnp.int16), v.astype(jnp.int16))
     levels: List[LevelData] = []
     for lp in cfg.level_schedule():
         low, lev = _analyze_level(low, lp.block_size, lp.search_range, cfg)

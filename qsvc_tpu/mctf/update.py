@@ -70,8 +70,11 @@ def _update_field(residue_444: jnp.ndarray, mv_dir_y: jnp.ndarray,
     C, H, W = residue_444.shape
     By, Bx = mv_dir_y.shape
     bs = block_size
+    # per-pixel contribution fits int16 (|residue| <= 255, factor <= 1);
+    # the (2K+1)^2 accumulation below widens to int32 (colliding blocks
+    # can sum past 2^15 at large search ranges)
     contrib = jnp.floor(residue_444.astype(jnp.float32)
-                        * jnp.float32(update_factor)).astype(jnp.int32)
+                        * jnp.float32(update_factor)).astype(jnp.int16)
     # vectors are clamped to +-search_range at ME time
     # (motion_estimate.cpp:321-348), bounding the contributing
     # block-offset neighbourhood
@@ -113,7 +116,7 @@ def apply_update(even_444: jnp.ndarray, upd: jnp.ndarray, sign: int
                  ) -> jnp.ndarray:
     """clip(frame ± upd, 0, 255) with the integer update (update.cpp:99-115
     modulo the integer-lifting deviation documented above)."""
-    return jnp.clip(even_444 + sign * upd, 0, 255)
+    return jnp.clip(even_444 + sign * upd, 0, 255).astype(even_444.dtype)
 
 
 def residue_to_444(high: Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray],

@@ -172,7 +172,9 @@ def _synthesize_level_dist(low, lev: LevelData, block_size, search_range,
 
 
 def _analyze_local(y, u, v, cfg: CodecConfig, axis_name: str) -> MCTFStream:
-    low = (y, u, v)
+    # int16 transform arithmetic, matching the sequential path (see
+    # mctf.transform.analyze)
+    low = (y.astype(jnp.int16), u.astype(jnp.int16), v.astype(jnp.int16))
     levels = []
     for lp in cfg.level_schedule():
         low, lev = _analyze_level_dist(low, lp.block_size, lp.search_range,
