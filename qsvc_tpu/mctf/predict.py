@@ -89,13 +89,39 @@ def predict_frame(ref_prev: jnp.ndarray, ref_next: jnp.ndarray,
                   ) -> jnp.ndarray:
     """Bidirectional prediction of one frame at luma resolution.
 
-    ``ref_*``: (C, H, W) int32 (chroma already upsampled);
+    ``ref_*``: (C, H, W) int (chroma already upsampled);
     ``mv``: (2 dirs, 2 comps, By, Bx).
     """
     g_prev = _mc_gather(ref_prev, mv[0, 0], mv[0, 1], block_size, border)
     g_next = _mc_gather(ref_next, mv[1, 0], mv[1, 1], block_size, border)
     pred = tdiv(g_prev + g_next, 2)
     return jnp.clip(pred, 0, 255)
+
+
+def predict_frames_batch(refs_prev: jnp.ndarray, refs_next: jnp.ndarray,
+                         mv: jnp.ndarray, block_size: int,
+                         search_range: int, block_overlaping: int = 0
+                         ) -> jnp.ndarray:
+    """Batched bidirectional prediction of a level's frame pairs.
+
+    ``refs_*``: (P, C, H, W); ``mv``: (P, 2, 2, By, Bx).  Uses the fused
+    Pallas MC kernel on TPU when the geometry allows (see
+    ops/pallas_mc.py), the vmapped lax gather otherwise; both are
+    bit-identical.
+    """
+    from ..ops import pallas_mc
+    H, W = refs_prev.shape[-2], refs_prev.shape[-1]
+    if (block_overlaping == 0 and jax.default_backend() != "cpu"
+            and pallas_mc.supported(H, W, block_size, search_range)):
+        bs = block_size
+        fxp = pallas_mc._fx(bs)
+        pad = [(0, 0), (0, 0), (bs, bs), (fxp * bs, fxp * bs)]
+        return pallas_mc.predict_pallas(
+            jnp.pad(refs_prev, pad, mode="edge"),
+            jnp.pad(refs_next, pad, mode="edge"), mv, bs)
+    border = 4 * search_range + block_overlaping
+    return jax.vmap(partial(predict_frame, block_size=block_size,
+                            border=border))(refs_prev, refs_next, mv)
 
 
 def refs_to_444(frame: Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]
@@ -120,11 +146,17 @@ def decorrelate_pair(odd: Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray],
                      ) -> PredictResult:
     """Forward predict step for one odd frame (decorrelate.cpp ANALYZE path)."""
     border = 4 * search_range + block_overlaping
+    pred = predict_frame(ref_prev_444, ref_next_444, mv, block_size, border)
+    return decorrelate_from_pred(odd, pred, mv, always_B)
+
+
+def decorrelate_from_pred(odd: Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray],
+                          pred: jnp.ndarray, mv: jnp.ndarray,
+                          always_B: bool = False) -> PredictResult:
+    """Residue formation + I/B decision given the 4:4:4 prediction."""
     oy, ou, ov = odd
     H, W = oy.shape
     By, Bx = mv.shape[-2], mv.shape[-1]
-
-    pred = predict_frame(ref_prev_444, ref_next_444, mv, block_size, border)
     pred_u = downsample_chroma(pred[1])
     pred_v = downsample_chroma(pred[2])
 
@@ -161,8 +193,14 @@ def correlate_pair(high: Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray],
     """Inverse predict step: reconstruct the odd frame
     (decorrelate.cpp:1036-1061 SYNTHESIZE path)."""
     border = 4 * search_range + block_overlaping
-    hy, hu, hv = high
     pred = predict_frame(ref_prev_444, ref_next_444, mv, block_size, border)
+    return correlate_from_pred(high, pred, is_B)
+
+
+def correlate_from_pred(high: Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray],
+                        pred: jnp.ndarray, is_B: jnp.ndarray
+                        ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    hy, hu, hv = high
     pred_u = downsample_chroma(pred[1])
     pred_v = downsample_chroma(pred[2])
     oy = jnp.clip((hy - 128) + pred[0], 0, 255)

@@ -62,26 +62,23 @@ def _analyze_level(low: Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray],
 
     evens444 = _refs444(ey, eu, ev)
 
-    dec = jax.vmap(partial(predict.decorrelate_pair,
-                           block_size=block_size, search_range=search_range,
-                           block_overlaping=cfg.block_overlaping,
+    preds = predict.predict_frames_batch(
+        evens444[:-1], evens444[1:], mv, block_size, search_range,
+        cfg.block_overlaping)
+    dec = jax.vmap(partial(predict.decorrelate_from_pred,
                            always_B=cfg.always_B))(
-        (oy, ou, ov), evens444[:-1], evens444[1:], mv)
+        (oy, ou, ov), preds, mv)
 
     if cfg.update_factor != 0.0:
         res444 = jax.vmap(update.residue_to_444)(
             (dec.high_y, dec.high_u, dec.high_v),
             dec.is_B[:, None, None, None])
-        upd_prev = jax.vmap(partial(update._update_field,
-                                    block_size=block_size,
-                                    update_factor=cfg.update_factor,
-                                    search_range=search_range))(
-            res444, dec.mv_out[:, 0, 0], dec.mv_out[:, 0, 1])
-        upd_next = jax.vmap(partial(update._update_field,
-                                    block_size=block_size,
-                                    update_factor=cfg.update_factor,
-                                    search_range=search_range))(
-            res444, dec.mv_out[:, 1, 0], dec.mv_out[:, 1, 1])
+        upd_prev = update.update_fields_batch(
+            res444, dec.mv_out[:, 0, 0], dec.mv_out[:, 0, 1], block_size,
+            cfg.update_factor, search_range)
+        upd_next = update.update_fields_batch(
+            res444, dec.mv_out[:, 1, 0], dec.mv_out[:, 1, 1], block_size,
+            cfg.update_factor, search_range)
         # phase 1: even[j] += NEXT-update of pair j-1 (update.cpp iteration
         # order; reference[1] updated first), phase 2: even[j] += PREV-update
         # of pair j — each phase truncates and clamps like the C code.
@@ -111,16 +108,12 @@ def _synthesize_level(low: Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray],
         res444 = jax.vmap(update.residue_to_444)(
             (lev.high_y, lev.high_u, lev.high_v),
             lev.is_B[:, None, None, None])
-        upd_prev = jax.vmap(partial(update._update_field,
-                                    block_size=block_size,
-                                    update_factor=cfg.update_factor,
-                                    search_range=search_range))(
-            res444, lev.mv[:, 0, 0], lev.mv[:, 0, 1])
-        upd_next = jax.vmap(partial(update._update_field,
-                                    block_size=block_size,
-                                    update_factor=cfg.update_factor,
-                                    search_range=search_range))(
-            res444, lev.mv[:, 1, 0], lev.mv[:, 1, 1])
+        upd_prev = update.update_fields_batch(
+            res444, lev.mv[:, 0, 0], lev.mv[:, 0, 1], block_size,
+            cfg.update_factor, search_range)
+        upd_next = update.update_fields_batch(
+            res444, lev.mv[:, 1, 0], lev.mv[:, 1, 1], block_size,
+            cfg.update_factor, search_range)
         ev444 = low444
         ev444 = ev444.at[1:].set(jax.vmap(partial(update.apply_update, sign=-1))(
             ev444[1:], upd_next))
@@ -129,13 +122,12 @@ def _synthesize_level(low: Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray],
     else:
         ev444 = low444
 
-    oy, ou, ov = jax.vmap(partial(predict.correlate_pair,
-                                  block_size=block_size,
-                                  search_range=search_range,
-                                  block_overlaping=cfg.block_overlaping))(
-        (lev.high_y, lev.high_u, lev.high_v),
-        ev444[:-1], ev444[1:],
-        lev.mv, lev.is_B[:, None, None])
+    preds = predict.predict_frames_batch(
+        ev444[:-1], ev444[1:], lev.mv, block_size, search_range,
+        cfg.block_overlaping)
+    oy, ou, ov = jax.vmap(predict.correlate_from_pred)(
+        (lev.high_y, lev.high_u, lev.high_v), preds,
+        lev.is_B[:, None, None])
 
     ey = ev444[:, 0]
     eu = jax.vmap(predict.downsample_chroma)(ev444[:, 1])

@@ -112,6 +112,36 @@ def _update_field(residue_444: jnp.ndarray, mv_dir_y: jnp.ndarray,
     return blocks.blocks_to_image(out_blocks)
 
 
+def update_fields_batch(res444: jnp.ndarray, mv_y: jnp.ndarray,
+                        mv_x: jnp.ndarray, block_size: int,
+                        update_factor: float, search_range: int
+                        ) -> jnp.ndarray:
+    """Batched accumulated update for one direction over a level's pairs.
+
+    ``res444``: (P, C, H, W) unbiased residues; ``mv_*``: (P, By, Bx).
+    Uses the fused Pallas MC update kernel on TPU when the geometry
+    allows (ops/pallas_mc.py), the lax inverse-gather otherwise; both are
+    bit-identical.
+    """
+    from ..ops import pallas_mc
+    H, W = res444.shape[-2], res444.shape[-1]
+    if (jax.default_backend() != "cpu"
+            and pallas_mc.supported(H, W, block_size, search_range)):
+        bs = block_size
+        fxp = pallas_mc._fx(bs)
+        contrib = jnp.floor(res444.astype(jnp.float32)
+                            * jnp.float32(update_factor)).astype(jnp.int16)
+        cp = jnp.pad(contrib, [(0, 0), (0, 0), (bs, bs),
+                               (fxp * bs, fxp * bs)])
+        mvy = jnp.pad(mv_y, [(0, 0), (1, 1), (1, 1)])
+        mvx = jnp.pad(mv_x, [(0, 0), (1, 1), (1, 1)])
+        return pallas_mc.update_pallas(cp, mvy, mvx, bs)
+    from functools import partial
+    return jax.vmap(partial(_update_field, block_size=block_size,
+                            update_factor=update_factor,
+                            search_range=search_range))(res444, mv_y, mv_x)
+
+
 def apply_update(even_444: jnp.ndarray, upd: jnp.ndarray, sign: int
                  ) -> jnp.ndarray:
     """clip(frame ± upd, 0, 255) with the integer update (update.cpp:99-115
