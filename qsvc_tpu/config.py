@@ -168,6 +168,16 @@ class CodecConfig:
     def validate(self) -> None:
         if self.TRLs < 1:
             raise ValueError("TRLs must be >= 1")
+        if not 0 <= self.subpixel_accuracy <= 3:
+            raise ValueError("subpixel_accuracy must be in [0, 3]")
+        if self.border_size < 0:
+            raise ValueError("border_size must be >= 0")
+        if self.block_overlaping:
+            d = self.block_overlaping
+            if d & (d - 1):
+                raise ValueError("block_overlaping must be a power of two")
+            if d > self.auto_block_size // 2:
+                raise ValueError("block_overlaping must be <= block_size/2")
         if self.TRLs > 1 and self.TRLs not in GAINS:
             raise ValueError(f"no GAINS table for TRLs={self.TRLs}")
         if self.pixels_in_x % 2 or self.pixels_in_y % 2:

@@ -27,6 +27,7 @@ block_overlaping`` (decorrelate.cpp:539).
 
 from __future__ import annotations
 
+import math
 from functools import partial
 from typing import NamedTuple, Tuple
 
@@ -109,9 +110,12 @@ def predict_frames_batch(refs_prev: jnp.ndarray, refs_next: jnp.ndarray,
     ops/pallas_mc.py), the vmapped lax gather otherwise; both are
     bit-identical.
     """
+    if block_overlaping > 0:
+        return _predict_frames_ola(refs_prev, refs_next, mv, block_size,
+                                   search_range, block_overlaping)
     from ..ops import pallas_mc
     H, W = refs_prev.shape[-2], refs_prev.shape[-1]
-    if (block_overlaping == 0 and jax.default_backend() != "cpu"
+    if (jax.default_backend() != "cpu"
             and pallas_mc.supported(H, W, block_size, search_range)):
         bs = block_size
         fxp = pallas_mc._fx(bs)
@@ -122,6 +126,104 @@ def predict_frames_batch(refs_prev: jnp.ndarray, refs_next: jnp.ndarray,
     border = 4 * search_range + block_overlaping
     return jax.vmap(partial(predict_frame, block_size=block_size,
                             border=border))(refs_prev, refs_next, mv)
+
+
+def _predict_frames_ola(refs_prev: jnp.ndarray, refs_next: jnp.ndarray,
+                        mv: jnp.ndarray, block_size: int,
+                        search_range: int, block_overlaping: int
+                        ) -> jnp.ndarray:
+    """Overlapped-block (OLA) bidirectional prediction
+    (decorrelate.cpp:69-189).
+
+    Each block's prediction window is widened by ``block_overlaping``
+    pixels per side, block-DWT-analyzed ``log2(block_overlaping)``
+    levels, each subband cropped back to the block's own coefficients
+    (discarding the border's), stitched into a full-frame packed pyramid
+    and synthesized — neighbouring blocks then share border texture
+    inside every wavelet subband, which smooths block seams.
+
+    ``refs``: (P, C, H, W); ``mv``: (P, 2, 2, By, Bx).  Returns
+    (P, C, H, W) predictions clipped to [0, 255].
+    """
+    d = block_overlaping
+    levels = int(round(math.log2(d)))
+    bs = block_size
+    P, C, H, W = refs_prev.shape
+    By, Bx = H // bs, W // bs
+    border = 4 * search_range + d
+    win = bs + 2 * d
+
+    base_y = (jnp.arange(By, dtype=jnp.int32) * bs)[:, None]
+    base_x = (jnp.arange(Bx, dtype=jnp.int32) * bs)[None, :]
+
+    def windows(ref, mv_y, mv_x):
+        padded = pad_edge(ref, border)
+        return blocks.gather_block_patches(
+            padded, base_y + mv_y + border - d, base_x + mv_x + border - d,
+            win, win)                     # (By, Bx, C, win, win)
+
+    def one(ref_p, ref_n, mvp):
+        wp = windows(ref_p, mvp[0, 0], mvp[0, 1])
+        wn = windows(ref_n, mvp[1, 0], mvp[1, 1])
+        avg = tdiv(wp + wn, 2)            # truncating /2, decorrelate.cpp:106
+        packed = dwt2d.analyze(avg, levels)
+        canvas = jnp.zeros((C, H, W), dtype=avg.dtype)
+
+        def stitch(sub):                  # (By, Bx, C, b, b) -> (C, ..)
+            b = sub.shape[-1]
+            return sub.transpose(2, 0, 3, 1, 4).reshape(C, By * b, Bx * b)
+
+        for l in range(1, levels + 1):
+            b = bs >> l
+            off = d >> l
+            hoff = (bs + 3 * d) >> l
+            Hl, Wl = H >> l, W >> l
+            canvas = canvas.at[:, :Hl, Wl:2 * Wl].set(
+                stitch(packed[..., off:off + b, hoff:hoff + b]))
+            canvas = canvas.at[:, Hl:2 * Hl, :Wl].set(
+                stitch(packed[..., hoff:hoff + b, off:off + b]))
+            canvas = canvas.at[:, Hl:2 * Hl, Wl:2 * Wl].set(
+                stitch(packed[..., hoff:hoff + b, hoff:hoff + b]))
+        b = bs >> levels
+        off = d >> levels
+        canvas = canvas.at[:, :H >> levels, :W >> levels].set(
+            stitch(packed[..., off:off + b, off:off + b]))
+        pred = dwt2d.synthesize(canvas, levels)
+        return jnp.clip(pred, 0, 255)     # decorrelate.cpp:842-848
+
+    return jax.vmap(one)(refs_prev, refs_next, mv)
+
+
+def predict_frames_subpixel(refs_prev: jnp.ndarray, refs_next: jnp.ndarray,
+                            mv: jnp.ndarray, block_size: int,
+                            search_range: int, subpixel_accuracy: int,
+                            block_overlaping: int = 0) -> jnp.ndarray:
+    """Batched bidirectional prediction with sub-pixel motion.
+
+    Mirrors decorrelate.cpp's sub-pixel path (decorrelate.cpp:656-686,
+    828-861): the 4:4:4 references are interpolated x2 per accuracy level
+    (zero-high 5/3 synthesis), the block prediction runs at the
+    interpolated resolution with ``block_size << a`` and the motion
+    vectors applied directly (ME emits them in sub-pixel units,
+    motion_estimate.cpp:361-407), the prediction is clipped to [0,255]
+    and brought back to base resolution by ``a`` analysis levels keeping
+    LL (decorrelate.cpp:852-858).  Returns base-resolution (P, C, H, W).
+    """
+    a = subpixel_accuracy
+    if a <= 0:
+        return predict_frames_batch(refs_prev, refs_next, mv, block_size,
+                                    search_range, block_overlaping)
+    up_p, up_n = refs_prev, refs_next
+    for _ in range(a):
+        up_p = dwt2d.upsample2(up_p)
+        up_n = dwt2d.upsample2(up_n)
+    pred = predict_frames_batch(up_p, up_n, mv, block_size << a,
+                                search_range << a, block_overlaping << a)
+    # prediction clip happens inside the block average (values stay in
+    # [0,255] there); the reference's post-predict clip is equivalent
+    for _ in range(a):
+        pred = dwt2d.downsample2(pred)
+    return pred
 
 
 def refs_to_444(frame: Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]

@@ -64,9 +64,9 @@ def _analyze_level_dist(low, block_size, search_range, cfg, axis_name):
                               cfg.border_size, cfg.subpixel_accuracy)
     evens444 = jax.vmap(lambda a, b, c: predict.refs_to_444((a, b, c)))(
         ey, eu, ev)
-    preds = predict.predict_frames_batch(
+    preds = predict.predict_frames_subpixel(
         evens444[:-1], evens444[1:], mv, block_size, search_range,
-        cfg.block_overlaping)
+        cfg.subpixel_accuracy, cfg.block_overlaping)
     dec = jax.vmap(partial(predict.decorrelate_from_pred,
                            always_B=cfg.always_B))(
         (oy, ou, ov), preds, mv)
@@ -75,11 +75,18 @@ def _analyze_level_dist(low, block_size, search_range, cfg, axis_name):
         res444 = jax.vmap(update.residue_to_444)(
             (dec.high_y, dec.high_u, dec.high_v),
             dec.is_B[:, None, None, None])
+        # update applies whole-pixel offsets: sub-pixel vectors scale
+        # down by 2^a (arithmetic shift = floor).  The reference instead
+        # feeds sub-pixel-unit vectors straight into update.cpp's pixel
+        # indexing (update.cpp:93-140 never consults subpixel_accuracy) -
+        # a latent bug we do not replicate; enc/dec stay mirrored.
+        mv_pix = (jnp.right_shift(dec.mv_out, cfg.subpixel_accuracy)
+                  if cfg.subpixel_accuracy else dec.mv_out)
         upd_prev = update.update_fields_batch(
-            res444, dec.mv_out[:, 0, 0], dec.mv_out[:, 0, 1], block_size,
+            res444, mv_pix[:, 0, 0], mv_pix[:, 0, 1], block_size,
             cfg.update_factor, search_range)
         upd_next = update.update_fields_batch(
-            res444, dec.mv_out[:, 1, 0], dec.mv_out[:, 1, 1], block_size,
+            res444, mv_pix[:, 1, 0], mv_pix[:, 1, 1], block_size,
             cfg.update_factor, search_range)
         ev444 = evens444
         # phase 1: NEXT updates (evens 1..k locally)
@@ -120,11 +127,13 @@ def _synthesize_level_dist(low, lev: LevelData, block_size, search_range,
         res444 = jax.vmap(update.residue_to_444)(
             (lev.high_y, lev.high_u, lev.high_v),
             lev.is_B[:, None, None, None])
+        mv_pix = (jnp.right_shift(lev.mv, cfg.subpixel_accuracy)
+                  if cfg.subpixel_accuracy else lev.mv)
         upd_prev = update.update_fields_batch(
-            res444, lev.mv[:, 0, 0], lev.mv[:, 0, 1], block_size,
+            res444, mv_pix[:, 0, 0], mv_pix[:, 0, 1], block_size,
             cfg.update_factor, search_range)
         upd_next = update.update_fields_batch(
-            res444, lev.mv[:, 1, 0], lev.mv[:, 1, 1], block_size,
+            res444, mv_pix[:, 1, 0], mv_pix[:, 1, 1], block_size,
             cfg.update_factor, search_range)
         ev444 = low444
         ev444 = ev444.at[1:].set(jax.vmap(partial(update.apply_update,
@@ -144,9 +153,9 @@ def _synthesize_level_dist(low, lev: LevelData, block_size, search_range,
     else:
         ev444 = low444
 
-    preds = predict.predict_frames_batch(
+    preds = predict.predict_frames_subpixel(
         ev444[:-1], ev444[1:], lev.mv, block_size, search_range,
-        cfg.block_overlaping)
+        cfg.subpixel_accuracy, cfg.block_overlaping)
     oy, ou, ov = jax.vmap(predict.correlate_from_pred)(
         (lev.high_y, lev.high_u, lev.high_v), preds,
         lev.is_B[:, None, None])
