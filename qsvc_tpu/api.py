@@ -308,10 +308,6 @@ def expand(vs: VideoStream, threshold: float = 0.0,
             jnp.asarray(hy), jnp.asarray(hu), jnp.asarray(hv),
             mv_fields[i].astype(jnp.int32), jnp.asarray(is_b)))
 
-    sub_cfg = cfg if not discard_TRLs else cfg.replace(
-        TRLs=cfg.TRLs - discard_TRLs,
-        GOPs=cfg.GOPs * (2 ** discard_TRLs) if cfg.TRLs - discard_TRLs > 1
-        else cfg.GOPs)
     mstream = transform.MCTFStream(jnp.asarray(ly), jnp.asarray(lu),
                                    jnp.asarray(lv), tuple(levels))
     if len(levels) == 0:

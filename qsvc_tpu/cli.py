@@ -121,6 +121,20 @@ def main(argv=None) -> int:
     pv.add_argument("--input", required=True)
     pv.add_argument("--output", required=True)
 
+    pj = sub.add_parser("export_j2k",
+                        help="export one frame's Y/U/V planes as standard "
+                             "lossless JPEG 2000 code-streams (any "
+                             "conformant decoder reads them; the "
+                             "reference's per-component .j2c layout)")
+    pj.add_argument("--input", required=True, help="raw .yuv (I420) file")
+    pj.add_argument("--output", required=True,
+                    help="output prefix: writes <prefix>_{Y,U,V}.j2c")
+    pj.add_argument("--pixels_in_x", type=int, required=True)
+    pj.add_argument("--pixels_in_y", type=int, required=True)
+    pj.add_argument("--frame", type=int, default=0)
+    pj.add_argument("--SRLs", type=int, default=5)
+    pj.add_argument("--codeblock_size", type=int, default=64)
+
     args = ap.parse_args(argv)
 
     if args.cmd == "compress":
@@ -214,6 +228,23 @@ def main(argv=None) -> int:
                                                       args.distortion)
             print(f"slope {q:.1f}: {pt.kbps:.1f} kbps, RMSE {pt.rmse_y:.3f},"
                   f" PSNR {pt.psnr_y:.2f} dB")
+        return 0
+
+    if args.cmd == "export_j2k":
+        from .codec import j2k
+        vid = yuv.read_yuv(args.input, args.pixels_in_x, args.pixels_in_y,
+                           args.frame + 1)
+        total = 0
+        for comp, plane in (("Y", vid.y), ("U", vid.u), ("V", vid.v)):
+            data = j2k.encode_j2c(np.asarray(plane[args.frame], np.uint8),
+                                  levels=args.SRLs - 1,
+                                  cb=args.codeblock_size)
+            path = f"{args.output}_{comp}.j2c"
+            with open(path, "wb") as f:
+                f.write(data)
+            total += len(data)
+            print(f"{path}: {len(data)} bytes")
+        print(f"total {total} bytes")
         return 0
 
     if args.cmd == "vix2raw":

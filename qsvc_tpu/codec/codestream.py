@@ -41,7 +41,11 @@ from .frame_codec import EncodedBlock, EncodedFrame, slope_to_threshold, \
     threshold_to_slope
 
 MAGIC = b"QSVC"
-VERSION = 2          # v2: per-frame entropy-coder id ("mq" | "bp")
+#: v2: per-frame entropy-coder id ("mq" | "bp"); v3: sub-pixel accuracy,
+#: block overlap, block_size_min and FPS in the header (decode-relevant
+#: MC parameters; omitting them mis-decoded byte-serialized streams of
+#: those modes)
+VERSION = 3
 
 _CODERS = ["mq", "bp"]
 
@@ -261,6 +265,9 @@ class VideoStream:
                            c.update_factor, self.delta,
                            1 if self.reversible else 0,
                            c.search_range, c.nLayers)
+        out += struct.pack("<BBBf", c.subpixel_accuracy,
+                           c.block_overlaping, c.auto_block_size_min,
+                           c.FPS)
         _wvarint(out, len(self.low))
         for fr in self.low:
             for comp in ("y", "u", "v"):
@@ -285,10 +292,13 @@ class VideoStream:
          nlayers) = r.struct("<BHHBBHBffBHB")
         if ver != VERSION:
             raise ValueError(f"unsupported stream version {ver}")
+        subpix, overlap, bsmin, fps = r.struct("<BBBf")
         cfg = CodecConfig(pixels_in_x=px, pixels_in_y=py, TRLs=trls,
                           SRLs=srls, GOPs=gops, block_size=bs,
-                          update_factor=uf, search_range=sr,
-                          nLayers=nlayers)
+                          block_size_min=bsmin, update_factor=uf,
+                          search_range=sr, nLayers=nlayers,
+                          subpixel_accuracy=subpix,
+                          block_overlaping=overlap, FPS=fps)
         nlow = r.varint()
         low = []
         for _ in range(nlow):

@@ -79,3 +79,37 @@ def test_odd_sizes_roundtrip():
                                   codeblock_size=16)
     rec = frame_codec.decode_frame(ef)
     np.testing.assert_array_equal(rec, plane)
+
+
+def test_sparse_selection_never_drops_surviving_blocks(rng):
+    """The sparse path's conservative pre-selection (device R-D sim +
+    margin, frame_codec.encode_frames_select_sparse) must never skip a
+    block that full encoding + truncation would keep — for BOTH coders
+    (the MQ criterion is relaxed by a compaction margin; this pins that
+    the margin is sufficient on dense/sparse/deep content)."""
+    from qsvc_tpu.codec import fast, frame_codec
+    if not fast.available():
+        import pytest
+        pytest.skip("native library not built")
+    planes = np.stack([
+        rng.integers(0, 256, (96, 128)),
+        (rng.normal(128, 3, (96, 128))).clip(0, 255),
+        (128 + 120 * np.sin(np.arange(96 * 128).reshape(96, 128) / 700.0)),
+    ]).astype(np.float32)
+    for coder in ("bp", "mq"):
+        for thr_slope in (44000.0, 45000.0, 45800.0):
+            t = frame_codec.slope_to_threshold(thr_slope)
+            full = frame_codec.encode_frames(planes, 2, reversible=False,
+                                             delta=0.5, codeblock_size=32,
+                                             min_threshold=0.0, coder=coder)
+            sparse = frame_codec.encode_frames(planes, 2, reversible=False,
+                                               delta=0.5, codeblock_size=32,
+                                               min_threshold=t, coder=coder)
+            for ff, sf in zip(full, sparse):
+                tf = ff.truncate(t)
+                keep = {(b.band_key, b.y0, b.x0) for b in tf.blocks
+                        if b.data}
+                got = {(b.band_key, b.y0, b.x0) for b in sf.blocks
+                       if b.data}
+                missing = keep - got
+                assert not missing, (coder, thr_slope, missing)

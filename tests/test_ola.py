@@ -89,7 +89,13 @@ def test_roundtrip_ola_subpixel_lossy():
     vid = synthetic_video(cfg.pictures, cfg.pixels_in_y, cfg.pixels_in_x,
                           seed=6)
     vs = api.compress(vid, cfg, reversible=False)
-    rec = api.expand(vs)
+    # the byte round trip must carry the MC parameters (v3 header): a
+    # decoder without subpixel/overlap would mis-predict
+    from qsvc_tpu.codec.codestream import VideoStream
+    vs2 = VideoStream.from_bytes(vs.to_bytes())
+    assert vs2.cfg.subpixel_accuracy == 1
+    assert vs2.cfg.block_overlaping == 2
+    rec = api.expand(vs2)
     p = video_psnr(vid, rec)
     assert min(p) > 30.0, p
 

@@ -42,6 +42,37 @@ def test_shard_unshard_roundtrip(setup):
     np.testing.assert_array_equal(back, y)
 
 
+@pytest.mark.skipif(NDEV < 4, reason="needs >= 4 devices")
+def test_distributed_matches_sequential_4dev():
+    """4-GOP ring: with only 2 participants the left and right ppermute
+    neighbours coincide, so this is the smallest mesh that can catch a
+    wrong neighbour index in the halo exchange."""
+    cfg = CodecConfig(pixels_in_x=32, pixels_in_y=32, TRLs=2, GOPs=4,
+                      block_size=16, search_range=2, update_factor=0.25,
+                      quantization_texture=0, SRLs=2)
+    vid = synthetic_video(cfg.pictures, 32, 32, seed=3)
+    y = vid.y.astype(np.int32)
+    u = vid.u.astype(np.int32)
+    v = vid.v.astype(np.int32)
+    m = pmesh.make_mesh(cfg.GOPs)
+    gy = pmesh.put_sharded(pmesh.shard_gops(y, cfg.gop_size), m)
+    gu = pmesh.put_sharded(pmesh.shard_gops(u, cfg.gop_size), m)
+    gv = pmesh.put_sharded(pmesh.shard_gops(v, cfg.gop_size), m)
+    st = ptransform.analyze_sharded(jnp.asarray(gy), jnp.asarray(gu),
+                                    jnp.asarray(gv), cfg, m)
+    seq = transform.analyze(jnp.asarray(y), jnp.asarray(u), jnp.asarray(v),
+                            cfg)
+    got = np.asarray(st.levels[0].high_y).reshape(
+        -1, *seq.levels[0].high_y.shape[1:])
+    np.testing.assert_array_equal(got, np.asarray(seq.levels[0].high_y))
+    low = pmesh.unshard_gops(np.asarray(st.low_y))
+    np.testing.assert_array_equal(low, np.asarray(seq.low_y))
+    ry, ru, rv = ptransform.synthesize_sharded(st, cfg, m)
+    sy, su, sv = transform.synthesize(seq, cfg)
+    np.testing.assert_array_equal(pmesh.unshard_gops(np.asarray(ry)),
+                                  np.asarray(sy))
+
+
 @pytest.mark.skipif(NDEV < 2, reason="needs multiple devices")
 def test_distributed_matches_sequential(setup):
     cfg, y, u, v = setup
