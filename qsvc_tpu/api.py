@@ -21,6 +21,7 @@ import jax.numpy as jnp
 
 from .config import CodecConfig
 from .io.yuv import Video
+from .utils import trace
 from .mctf import motion_coding, transform
 from .codec import codestream, frame_codec
 from .codec.codestream import LevelSection, VideoStream
@@ -105,7 +106,8 @@ def compress_dispatch(video: Video, cfg: CodecConfig,
             return x
         return jnp.asarray(np.asarray(x, np.uint8))
 
-    y, u, v = up(video.y), up(video.u), up(video.v)
+    with trace.stage("upload+mctf_dispatch", frames=int(video.frames)):
+        y, u, v = up(video.y), up(video.u), up(video.v)
     if cfg.TRLs > 1:
         stream = transform.analyze_jit(y, u, v, cfg)
     else:
@@ -163,25 +165,28 @@ def compress_finish(pending: dict) -> VideoStream:
     luma_thr, chroma_thr = pending["luma_thr"], pending["chroma_thr"]
     thr = pending["thr"]
 
-    # one batched fetch: tiny per-tile stats of both stacks + MV residues
-    (stats_l, stats_c, residues) = jax.device_get(
-        ((pend_l[2], pend_l[3], pend_l[4]),
-         (pend_c[2], pend_c[3], pend_c[4]), pending["residues_dev"]))
+    with trace.stage("device_encode+stats_fetch"):
+        # one batched fetch: per-tile stats of both stacks + MV residues
+        (stats_l, stats_c, residues) = jax.device_get(
+            ((pend_l[2], pend_l[3], pend_l[4]),
+             (pend_c[2], pend_c[3], pend_c[4]), pending["residues_dev"]))
 
-    sel_l = frame_codec.encode_frames_select_sparse(pend_l, luma_thr, coder,
-                                                    stats=stats_l)
-    sel_c = frame_codec.encode_frames_select_sparse(pend_c, chroma_thr,
-                                                    coder, stats=stats_c)
-    # one batched fetch: both compacted code-block stacks
-    comp_l, comp_c = jax.device_get((sel_l[1], sel_c[1]))
+    with trace.stage("select+gather_fetch"):
+        sel_l = frame_codec.encode_frames_select_sparse(
+            pend_l, luma_thr, coder, stats=stats_l)
+        sel_c = frame_codec.encode_frames_select_sparse(
+            pend_c, chroma_thr, coder, stats=stats_c)
+        # one batched fetch: both compacted code-block stacks
+        comp_l, comp_c = jax.device_get((sel_l[1], sel_c[1]))
     sel_l = sel_l[:1] + (comp_l,) + sel_l[2:]
     sel_c = sel_c[:1] + (comp_c,) + sel_c[2:]
     (_, Hl, Wl) = pending["luma_shape"]
     (_, Hc, Wc) = pending["chroma_shape"]
-    enc_l = frame_codec.encode_frames_finish_sparse(
-        sel_l, Hl, Wl, luma_thr, coder)
-    enc_c = frame_codec.encode_frames_finish_sparse(
-        sel_c, Hc, Wc, chroma_thr, coder)
+    with trace.stage("native_entropy_coding"):
+        enc_l = frame_codec.encode_frames_finish_sparse(
+            sel_l, Hl, Wl, luma_thr, coder)
+        enc_c = frame_codec.encode_frames_finish_sparse(
+            sel_c, Hc, Wc, chroma_thr, coder)
 
     def trunc(frames, row):
         t = thr(row)

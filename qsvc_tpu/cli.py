@@ -18,6 +18,9 @@ from .io import yuv
 
 
 def _add_common(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--trace", default="",
+                   help="append per-stage JSONL timing records to this "
+                        "file (the reference's ./trace analogue)")
     p.add_argument("--pixels_in_x", type=int, default=352)
     p.add_argument("--pixels_in_y", type=int, default=288)
     p.add_argument("--TRLs", type=int, default=4)
@@ -139,6 +142,9 @@ def main(argv=None) -> int:
 
     if args.cmd == "compress":
         from .api import compress
+        if args.trace:
+            from .utils import trace as _tr
+            _tr.set_run_log(_tr.RunLog(path=args.trace))
         cfg = _cfg(args)
         n = args.pictures or cfg.pictures
         vid = yuv.read_yuv(args.input, cfg.pixels_in_x, cfg.pixels_in_y, n)

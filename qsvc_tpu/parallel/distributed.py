@@ -1,0 +1,184 @@
+"""Multi-host distribution: ``jax.distributed`` runtime, (host x chip)
+meshes, GOP sharding across hosts, and the distributed byte-stream
+gather.
+
+The reference has no distribution at all — its "transport" is copying
+files between directories (trunk/readme.txt:27-29, SURVEY §2.4/§5).
+Here the sequence's GOP axis shards over every chip of every host:
+
+* ``initialize()`` wires the process into the JAX distributed runtime
+  (coordinator + process id, one call per host) so the global device
+  list spans all hosts;
+* ``make_gop_mesh()`` builds a 1D ``gop`` mesh over the global devices
+  in process order — consecutive GOPs land on chips of the same host,
+  so the MCTF boundary-update halos (one frame per temporal level, see
+  parallel/transform.py) ride ICI between local chips and cross DCN
+  only at host boundaries;
+* ``encode_gops_distributed()`` runs the device-side encode step
+  sharded over the mesh, then each HOST entropy-codes only the GOPs
+  resident on its local devices (the per-code-block EBCOT work never
+  leaves the host that holds the coefficients) and the per-GOP byte
+  streams are gathered to every process with
+  ``multihost_utils.process_allgather`` — the distributed analogue of
+  the reference's per-GOP file drops.
+
+Single-process fallback: with no distributed runtime every helper
+degrades to the local-device mesh, so the same code path serves the
+8-virtual-device CPU tests, the driver's dry run, and a real pod slice.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import CodecConfig
+from ..io.yuv import Video
+from . import mesh as pmesh
+from . import transform as ptransform
+
+
+def initialize(coordinator_address: Optional[str] = None,
+               num_processes: Optional[int] = None,
+               process_id: Optional[int] = None) -> None:
+    """Join the JAX distributed runtime (multi-host).  Arguments default
+    to the standard env vars (``JAX_COORDINATOR_ADDRESS``,
+    ``JAX_NUM_PROCESSES``, ``JAX_PROCESS_ID``); on a single host with no
+    coordinator configured this is a no-op."""
+    coordinator_address = coordinator_address or os.environ.get(
+        "JAX_COORDINATOR_ADDRESS")
+    if coordinator_address is None:
+        return
+    num_processes = int(num_processes if num_processes is not None
+                        else os.environ["JAX_NUM_PROCESSES"])
+    process_id = int(process_id if process_id is not None
+                     else os.environ["JAX_PROCESS_ID"])
+    jax.distributed.initialize(coordinator_address=coordinator_address,
+                               num_processes=num_processes,
+                               process_id=process_id)
+
+
+def make_gop_mesh(n_devices: Optional[int] = None) -> Mesh:
+    """1D ``gop`` mesh over the GLOBAL device list in process order
+    (``jax.devices()`` already sorts by process), so each host owns a
+    contiguous run of GOPs and inter-host halo traffic crosses DCN only
+    at the two run boundaries."""
+    devs = jax.devices()
+    n = n_devices or len(devs)
+    return Mesh(np.array(devs[:n]), ("gop",))
+
+
+def shard_video_gops(video: Video, cfg: CodecConfig, mesh: Mesh):
+    """(G*S+1)-frame planes -> (G, S+1, ...) device arrays sharded on the
+    gop axis (boundary frames duplicated per the open-GOP rule)."""
+    S = cfg.gop_size
+    out = []
+    for plane in video.planes():
+        g = pmesh.shard_gops(np.asarray(plane), S)
+        out.append(jax.device_put(
+            g, NamedSharding(mesh, P("gop", *([None] * (g.ndim - 1))))))
+    return tuple(out)
+
+
+def encode_gops_distributed(video: Video, cfg: CodecConfig,
+                            mesh: Optional[Mesh] = None,
+                            reversible: bool = False) -> List[bytes]:
+    """Distributed encode: device MCTF+DWT sharded over the mesh, per-host
+    EBCOT of the locally resident GOPs, cross-host gather of the per-GOP
+    byte streams.  Returns the ordered list of self-contained per-GOP
+    streams (every process returns the full list)."""
+    from .. import api
+
+    mesh = mesh or make_gop_mesh()
+    G = cfg.GOPs
+    assert G == mesh.devices.size, (G, mesh.devices.size)
+    gop_cfg = cfg.replace(GOPs=1)
+    S = cfg.gop_size
+
+    # GOP -> owning process, per the mesh's device order: each host
+    # transforms and entropy-codes only its own GOPs (closed-GOP mode;
+    # the halo-exact open-GOP transform lives in analyze_sharded)
+    local_gops = [i for i, d in enumerate(mesh.devices.ravel())
+                  if d.process_index == jax.process_index()]
+
+    payloads: List[Tuple[int, bytes]] = []
+    for g in local_gops:
+        chunk = Video(np.asarray(video.y[g * S:(g + 1) * S + 1]),
+                      np.asarray(video.u[g * S:(g + 1) * S + 1]),
+                      np.asarray(video.v[g * S:(g + 1) * S + 1]))
+        vs = api.compress(chunk, gop_cfg, reversible=reversible)
+        payloads.append((g, vs.to_bytes()))
+
+    if jax.process_count() == 1:
+        return [p for _, p in sorted(payloads)]
+
+    # byte gather across hosts: fixed-size frames (length-prefixed,
+    # padded to the global max) so one all-gather ships every stream
+    from jax.experimental import multihost_utils
+    local_max = max((len(p) for _, p in payloads), default=0)
+    gmax = int(multihost_utils.process_allgather(
+        np.asarray([local_max], np.int64)).max())
+    buf = np.zeros((len(local_gops), gmax + 12), np.uint8)
+    for row, (g, p) in enumerate(payloads):
+        buf[row, :8] = np.frombuffer(
+            np.asarray([g], np.int64).tobytes(), np.uint8)
+        buf[row, 8:12] = np.frombuffer(
+            np.asarray([len(p)], np.int32).tobytes(), np.uint8)
+        buf[row, 12:12 + len(p)] = np.frombuffer(p, np.uint8)
+    gathered = multihost_utils.process_allgather(buf)
+    gathered = gathered.reshape(-1, gathered.shape[-1])
+    out: List[Optional[bytes]] = [None] * G
+    for row in gathered:
+        g = int(np.frombuffer(row[:8].tobytes(), np.int64)[0])
+        n = int(np.frombuffer(row[8:12].tobytes(), np.int32)[0])
+        out[g] = row[12:12 + n].tobytes()
+    assert all(p is not None for p in out)
+    return out  # type: ignore[return-value]
+
+
+def measure_scaling(n_devices: int, reps: int = 2,
+                    cfg: Optional[CodecConfig] = None) -> dict:
+    """Scaling-efficiency harness: fps of the device encode step on ONE
+    device vs ``n_devices`` (same per-GOP work), on whatever backend is
+    active (CPU mesh in tests, chips on a pod).  Returns
+    ``{fps_1, fps_n, efficiency}`` where efficiency =
+    fps_n / (n * fps_1)."""
+    import time
+    from ..io import synthetic_video
+
+    base = cfg or CodecConfig(pixels_in_x=64, pixels_in_y=64, TRLs=2,
+                              block_size=16, search_range=2,
+                              update_factor=0.25, SRLs=2)
+
+    def run(n: int) -> float:
+        c = base.replace(GOPs=n)
+        vid = synthetic_video(c.pictures, c.pixels_in_y, c.pixels_in_x,
+                              seed=0)
+        m = pmesh.make_mesh(n)
+        gy = pmesh.put_sharded(
+            pmesh.shard_gops(vid.y.astype(np.int32), c.gop_size), m)
+        gu = pmesh.put_sharded(
+            pmesh.shard_gops(vid.u.astype(np.int32), c.gop_size), m)
+        gv = pmesh.put_sharded(
+            pmesh.shard_gops(vid.v.astype(np.int32), c.gop_size), m)
+        out = ptransform.encode_step_sharded(
+            jnp.asarray(gy), jnp.asarray(gu), jnp.asarray(gv), c, m)
+        jax.block_until_ready(out)          # compile
+        t0 = time.time()
+        for _ in range(reps):
+            out = ptransform.encode_step_sharded(
+                jnp.asarray(gy), jnp.asarray(gu), jnp.asarray(gv), c, m)
+            jax.block_until_ready(out)
+        dt = (time.time() - t0) / reps
+        return vid.frames / dt
+
+    fps_1 = run(1)
+    fps_n = run(n_devices)
+    return {"n_devices": n_devices, "fps_1": fps_1, "fps_n": fps_n,
+            "efficiency": fps_n / (n_devices * fps_1)}
