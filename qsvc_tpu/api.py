@@ -136,10 +136,12 @@ def compress_dispatch(video: Video, cfg: CodecConfig,
     luma = jnp.concatenate(luma_planes)
     chroma = jnp.concatenate(chroma_planes)
 
+    luma_thr_arr = np.concatenate(luma_thr)
+    chroma_thr_arr = np.concatenate(chroma_thr)
     pend_l = frame_codec.encode_frames_dispatch_sparse(
-        luma, srl_levels, reversible, delta, cb)
+        luma, srl_levels, reversible, delta, cb, luma_thr_arr, coder)
     pend_c = frame_codec.encode_frames_dispatch_sparse(
-        chroma, srl_levels, reversible, delta, cb)
+        chroma, srl_levels, reversible, delta, cb, chroma_thr_arr, coder)
 
     mv_fields = [lev.mv for lev in stream.levels]
     residues_dev = (motion_coding.decorrelate_jit(mv_fields)
@@ -148,8 +150,7 @@ def compress_dispatch(video: Video, cfg: CodecConfig,
     return dict(cfg=cfg, reversible=reversible, delta=delta,
                 lossless=lossless, coder=coder, stream=stream,
                 luma_shape=luma.shape, chroma_shape=chroma.shape,
-                luma_thr=np.concatenate(luma_thr),
-                chroma_thr=np.concatenate(chroma_thr),
+                luma_thr=luma_thr_arr, chroma_thr=chroma_thr_arr,
                 pend_l=pend_l, pend_c=pend_c, residues_dev=residues_dev,
                 thr=thr)
 
@@ -202,16 +203,23 @@ def compress_finish(pending: dict) -> VideoStream:
     n0 = stream.low_y.shape[0]
     low = trunc(plane_set(0, 0, n0), 0)
 
+    # one native call for every motion field of every level (the per-call
+    # marshalling dominates for these tiny blocks)
+    all_fields = [np.asarray(residues[t])[i]
+                  for t in range(len(stream.levels))
+                  for i in range(np.asarray(residues[t]).shape[0])]
+    all_motion = codestream.encode_motion_fields(all_fields)
+
     levels: List[LevelSection] = []
     oy, oc = n0, 2 * n0
+    mo = 0
     for t, lev in enumerate(stream.levels, start=1):
         p = lev.high_y.shape[0]
         high = trunc(plane_set(oy, oc, p), cfg.TRLs - t)
         oy += p
         oc += 2 * p
-        res = np.asarray(residues[t - 1])
-        motion = [codestream.encode_motion_field(res[i])
-                  for i in range(res.shape[0])]
+        motion = all_motion[mo:mo + p]
+        mo += p
         ftypes = bytes(b"B"[0] if b else b"I"[0]
                        for b in np.asarray(lev.is_B))
         levels.append(LevelSection(high, motion, ftypes))

@@ -162,14 +162,28 @@ def _read_frame(r: _Reader) -> EncodedFrame:
 
 # ------------------------------------------------- motion (de)serialization
 
+def encode_motion_fields(fields: List[np.ndarray]) -> List[Dict]:
+    """Losslessly code a batch of (2,2,By,Bx) MV residue fields in ONE
+    native call (4 code-blocks per field, no DWT — reference Clevels=0
+    path).  Batching all of a GOP's fields amortizes the per-call
+    marshalling of the native coder, which dominates for these tiny
+    blocks."""
+    tiles = [np.ascontiguousarray(f[d, c].astype(np.int64))
+             for f in fields for d in range(2) for c in range(2)]
+    cbs = fast.encode_codeblocks_batch(tiles, ["LL"] * len(tiles))
+    out = []
+    for i, f in enumerate(fields):
+        part = cbs[4 * i:4 * i + 4]
+        out.append({"shape": f.shape[-2:],
+                    "parts": [(cb.data, cb.msbs, cb.pass_ends)
+                              for cb in part]})
+    return out
+
+
 def encode_motion_field(field_arr: np.ndarray) -> Dict:
     """Losslessly code one (2,2,By,Bx) MV residue field: four single
     code-blocks, no DWT (reference Clevels=0 path)."""
-    tiles = [np.ascontiguousarray(field_arr[d, c].astype(np.int64))
-             for d in range(2) for c in range(2)]
-    cbs = fast.encode_codeblocks_batch(tiles, ["LL"] * 4)
-    return {"shape": field_arr.shape[-2:],
-            "parts": [(cb.data, cb.msbs, cb.pass_ends) for cb in cbs]}
+    return encode_motion_fields([field_arr])[0]
 
 
 def decode_motion_field(enc: Dict) -> np.ndarray:

@@ -71,6 +71,8 @@ class EncodedBlock:
                 n += 1
             else:
                 break
+        if n == len(self.pass_ends):
+            return self                 # nothing cut (incl. empty blocks)
         end = self.pass_ends[n - 1] if n else 0
         return EncodedBlock(self.band_key, self.level, self.band, self.y0,
                             self.x0, self.shape, self.msbs, self.data[:end],
@@ -232,6 +234,26 @@ def _tile_template(H: int, W: int, levels: int, cb: int) -> List[Tuple]:
     return tpl
 
 
+#: per-template empty EncodedBlock singletons: blocks are treated as
+#: immutable everywhere, so the (overwhelmingly many) uncoded blocks of a
+#: sparse frame can share one object per template slot instead of
+#: constructing ~10^4 dataclasses per GOP on the host hot path.
+_EMPTY_CACHE: Dict[Tuple[int, int, int, int], List["EncodedBlock"]] = {}
+
+
+def _empty_blocks(H: int, W: int, levels: int, cb: int
+                  ) -> List["EncodedBlock"]:
+    key = (H, W, levels, cb)
+    out = _EMPTY_CACHE.get(key)
+    if out is None:
+        out = [EncodedBlock(b.key, b.level, b.band, ty, tx, (th, tw),
+                            0, b"", [], [])
+               for (b, ty, tx, th, tw, _gr, _gi)
+               in _tile_template(H, W, levels, cb)]
+        _EMPTY_CACHE[key] = out
+    return out
+
+
 _DIMS_CACHE: Dict[Tuple[int, int, int, int], Tuple[np.ndarray, np.ndarray]] \
     = {}
 
@@ -284,19 +306,56 @@ def _dwt_quant_tiles(plane: jnp.ndarray, levels: int, reversible: bool,
 
 
 @jax.jit
-def _take_tiles(tiles: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+def _compact_tiles(tiles: jnp.ndarray, maxabs: jnp.ndarray,
+                   smax: jnp.ndarray, ms: jnp.ndarray):
+    """Device-side block selection + stable compaction.
+
+    ``ms``: (N, nb) float32 per-tile slope floor (<= 0 disables).  Returns
+    the full tile stack reordered with the kept tiles first (in ascending
+    flat-index order, matching ``np.flatnonzero`` of the mask on host) and
+    the boolean keep mask.  Doing this at dispatch time removes two host
+    round trips per stack from the selection stage: the host never uploads
+    an index array, it just fetches the mask with the stats and then the
+    ``[:K]`` prefix."""
     N, nb, cb, _ = tiles.shape
-    return tiles.reshape(N * nb, cb, cb)[idx]
+    keep = (maxabs > 0) & (smax >= ms)
+    order = jnp.argsort(jnp.where(keep, 0, 1).ravel(), stable=True)
+    compact = tiles.reshape(N * nb, cb, cb)[order]
+    return compact, keep
+
+
+def _slope_floor(min_threshold, N: int, nb: int, tpl, reversible: bool,
+                 delta: float, coder: str) -> np.ndarray:
+    """(N, nb) float32 floor on the device smax for block selection.
+
+    A block is kept iff its maximum achievable weighted slope (the first
+    segment of its R-D hull, computed exactly on device for the bp coder)
+    reaches the truncation threshold.  For the spec-MQ coder the bp byte
+    counts are an upper bound on the MQ rate, so the criterion is relaxed
+    by the MQ coder's plausible compaction margin (strictly conservative;
+    MQ typically compacts the raw bp bits 2-4x, 32x margin is safe —
+    pinned by test_sparse_selection_never_drops_surviving_blocks)."""
+    thr = np.broadcast_to(np.asarray(min_threshold, np.float64), (N,))
+    if not np.any(thr > 0):
+        return np.zeros((N, nb), np.float32)
+    margin = 1.0 if coder == "bp" else 32.0
+    wts = np.empty(nb, np.float64)
+    for i, (b, ty, tx, th, tw, g_rev, g_irr) in enumerate(tpl):
+        wts[i] = g_rev if reversible else g_irr * float(delta) * float(delta)
+    return (thr[:, None] / wts[None, :] / margin).astype(np.float32)
 
 
 def encode_frames_dispatch_sparse(planes, levels: int, reversible: bool,
-                                  delta: float, codeblock_size: int):
+                                  delta: float, codeblock_size: int,
+                                  min_threshold=0.0, coder: str = "bp"):
     """Stage 1 (sparse path): fused device DWT+quantize+tile, non-blocking.
 
     Also dispatches the device-side bp R-D simulation
-    (:func:`bp_device.bp_max_slope`) so the selection stage knows, per
-    block, the exact maximum distortion-length slope the coder could
-    achieve — before a single coefficient crosses the host link."""
+    (:func:`bp_device.bp_max_slope`) and the threshold-driven block
+    selection + compaction (:func:`_compact_tiles`), so the selection
+    stage only fetches the tiny keep mask and the compact prefix — no
+    coefficient and no index array crosses the host link for blocks that
+    cannot survive truncation."""
     d = jnp.float32(delta)
     pl = jnp.asarray(planes)
     cb = codeblock_size
@@ -307,54 +366,42 @@ def encode_frames_dispatch_sparse(planes, levels: int, reversible: bool,
     smax, _d0 = bp_device.bp_max_slope(
         tiles.reshape(N * nb, cb, cb),
         jnp.asarray(np.tile(th, N)), jnp.asarray(np.tile(tw, N)))
-    return (pl, tiles, maxabs, smax.reshape(N, nb), ovf, levels, reversible,
-            d, cb)
+    tpl = _tile_template(H, W, levels, cb)
+    ms = _slope_floor(min_threshold, N, nb, tpl, reversible, float(delta),
+                      coder)
+    compact, keep = _compact_tiles(tiles, maxabs, smax.reshape(N, nb),
+                                   jnp.asarray(ms))
+    # store delta as a python float: a device scalar here would cost the
+    # select stage a blocking round trip per stack (float(jax_scalar))
+    return (pl, compact, maxabs, keep, ovf, levels, reversible,
+            float(delta), cb)
 
 
 def encode_frames_select_sparse(pending, min_threshold, coder: str = "bp",
                                 stats=None):
-    """Stage 2: fetch the tiny per-tile stats, pick the blocks worth coding
-    and dispatch the compact device gather.
+    """Stage 2: fetch the tiny per-tile stats and slice the compact prefix.
 
-    A block is gathered iff it could contribute bytes to the truncated
-    stream: its maximum achievable weighted slope (= the first segment of
-    its R-D hull, computed exactly on device for the bp coder) reaches the
-    truncation threshold.  For the spec-MQ coder the bp byte counts are an
-    upper bound on the MQ rate, so the criterion is relaxed by the MQ
-    coder's plausible compaction margin (strictly conservative).
+    The selection itself already happened on device at dispatch time (see
+    :func:`_compact_tiles`); this stage turns the fetched keep mask into
+    host bookkeeping and dispatches the ``[:K]`` prefix slice.
 
-    ``min_threshold``: scalar, or per-frame (N,) array when the stack mixes
-    subbands with different operating points (the consolidated-stack path).
-    ``stats``: optionally the already-fetched host values of
-    ``(maxabs, smax, ovf)`` — the pipelined caller batches those fetches
-    across stacks into one round trip.
+    ``min_threshold`` is kept for signature compatibility (the floor was
+    applied at dispatch).  ``stats``: optionally the already-fetched host
+    values of ``(maxabs, keep, ovf)`` — the pipelined caller batches those
+    fetches across stacks into one round trip.
     """
-    (pl, tiles, maxabs, smax, ovf, levels, reversible, d, cb) = pending
+    (pl, compact, maxabs, keep, ovf, levels, reversible, d, cb) = pending
     if stats is None:
-        maxabs_h, smax_h, ovf_h = jax.device_get((maxabs, smax, ovf))
+        maxabs_h, keep_h, ovf_h = jax.device_get((maxabs, keep, ovf))
     else:
-        maxabs_h, smax_h, ovf_h = stats
+        maxabs_h, keep_h, ovf_h = stats
     if bool(ovf_h):
         return ("packed", np.asarray(_dwt_quant32(pl, levels, reversible, d)),
                 None, None, levels, reversible, float(d), cb)
     N, nb = maxabs_h.shape
-    H, W = pl.shape[1], pl.shape[2]
-    tpl = _tile_template(H, W, levels, cb)
-    assert len(tpl) == nb, (len(tpl), nb)
-    thr = np.broadcast_to(np.asarray(min_threshold, np.float64), (N,))
-    keep = (maxabs_h > 0)
-    if np.any(thr > 0):
-        # MQ typically compacts the raw bp bits ~2-4x; 32x margin is safe
-        margin = 1.0 if coder == "bp" else 32.0
-        wts = np.empty(nb, np.float64)
-        for i, (b, ty, tx, th, tw, g_rev, g_irr) in enumerate(tpl):
-            wts[i] = g_rev if reversible else g_irr * float(d) * float(d)
-        ms = thr[:, None] / wts[None, :] / margin        # (N, nb)
-        keep &= (smax_h >= ms)
-    flat_idx = np.flatnonzero(keep.ravel()).astype(np.int32)
-    compact = _take_tiles(tiles, jnp.asarray(flat_idx))
-    return ("sparse", compact, flat_idx, (N, nb, maxabs_h), levels,
-            reversible, float(d), cb)
+    flat_idx = np.flatnonzero(keep_h.ravel()).astype(np.int32)
+    return ("sparse", compact[:len(flat_idx)], flat_idx, (N, nb, maxabs_h),
+            levels, reversible, float(d), cb)
 
 
 def encode_frames_finish_sparse(selected, H: int, W: int,
@@ -396,13 +443,11 @@ def encode_frames_finish_sparse(selected, H: int, W: int,
         coded[(n, b.key, ty, tx)] = EncodedBlock(
             b.key, b.level, b.band, ty, tx, (th, tw), cbk.msbs,
             cbk.data, cbk.pass_ends, slopes)
+    empties = _empty_blocks(H, W, levels, cb)
     for n in range(N):
         for ti, (b, ty, tx, th, tw, g_rev, g_irr) in enumerate(tpl):
             blk = coded.get((n, b.key, ty, tx))
-            if blk is None:
-                blk = EncodedBlock(b.key, b.level, b.band, ty, tx,
-                                   (th, tw), 0, b"", [], [])
-            per_frame[n].append(blk)
+            per_frame[n].append(empties[ti] if blk is None else blk)
     return [EncodedFrame(H, W, levels, reversible, delta, cb, blocks, coder)
             for blocks in per_frame]
 
@@ -476,7 +521,8 @@ def encode_frames(planes, levels: int, reversible: bool = True,
     the dispatch/fetch/host stages.
     """
     pending = encode_frames_dispatch_sparse(planes, levels, reversible,
-                                            delta, codeblock_size)
+                                            delta, codeblock_size,
+                                            min_threshold, coder)
     H, W = pending[0].shape[1], pending[0].shape[2]
     selected = encode_frames_select_sparse(pending, min_threshold, coder)
     return encode_frames_finish_sparse(selected, H, W, min_threshold, coder)

@@ -80,12 +80,8 @@ def _analyze_level(low: Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray],
         # a latent bug we do not replicate; enc/dec stay mirrored.
         mv_pix = (jnp.right_shift(dec.mv_out, cfg.subpixel_accuracy)
                   if cfg.subpixel_accuracy else dec.mv_out)
-        upd_prev = update.update_fields_batch(
-            res444, mv_pix[:, 0, 0], mv_pix[:, 0, 1], block_size,
-            cfg.update_factor, search_range)
-        upd_next = update.update_fields_batch(
-            res444, mv_pix[:, 1, 0], mv_pix[:, 1, 1], block_size,
-            cfg.update_factor, search_range)
+        upd_prev, upd_next = update.update_fields_batch2(
+            res444, mv_pix, block_size, cfg.update_factor, search_range)
         # phase 1: even[j] += NEXT-update of pair j-1 (update.cpp iteration
         # order; reference[1] updated first), phase 2: even[j] += PREV-update
         # of pair j — each phase truncates and clamps like the C code.
@@ -117,12 +113,8 @@ def _synthesize_level(low: Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray],
             lev.is_B[:, None, None, None])
         mv_pix = (jnp.right_shift(lev.mv, cfg.subpixel_accuracy)
                   if cfg.subpixel_accuracy else lev.mv)
-        upd_prev = update.update_fields_batch(
-            res444, mv_pix[:, 0, 0], mv_pix[:, 0, 1], block_size,
-            cfg.update_factor, search_range)
-        upd_next = update.update_fields_batch(
-            res444, mv_pix[:, 1, 0], mv_pix[:, 1, 1], block_size,
-            cfg.update_factor, search_range)
+        upd_prev, upd_next = update.update_fields_batch2(
+            res444, mv_pix, block_size, cfg.update_factor, search_range)
         ev444 = low444
         ev444 = ev444.at[1:].set(jax.vmap(partial(update.apply_update, sign=-1))(
             ev444[1:], upd_next))

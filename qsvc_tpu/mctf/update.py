@@ -142,6 +142,37 @@ def update_fields_batch(res444: jnp.ndarray, mv_y: jnp.ndarray,
                             search_range=search_range))(res444, mv_y, mv_x)
 
 
+def update_fields_batch2(res444: jnp.ndarray, mv: jnp.ndarray,
+                         block_size: int, update_factor: float,
+                         search_range: int
+                         ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Accumulated update for BOTH directions of a level's pairs.
+
+    ``res444``: (P, C, H, W) unbiased residues; ``mv``: (P, 2, 2, By, Bx).
+    On TPU both directions run in ONE fused Pallas kernel sharing the
+    contribution staging (ops/pallas_mc.update2_pallas); elsewhere it
+    falls back to the per-direction lax inverse-gather.  Returns
+    ``(upd_prev, upd_next)``, bit-identical to two
+    :func:`update_fields_batch` calls."""
+    from ..ops import pallas_mc
+    H, W = res444.shape[-2], res444.shape[-1]
+    if (jax.default_backend() != "cpu"
+            and pallas_mc.supported(H, W, block_size, search_range)):
+        bs = block_size
+        fxp = pallas_mc._fx(bs)
+        contrib = jnp.floor(res444.astype(jnp.float32)
+                            * jnp.float32(update_factor)).astype(jnp.int16)
+        cp = jnp.pad(contrib, [(0, 0), (0, 0), (bs, bs),
+                               (fxp * bs, fxp * bs)])
+        mvp = jnp.pad(mv, [(0, 0), (0, 0), (0, 0), (1, 1), (1, 1)])
+        both = pallas_mc.update2_pallas(cp, mvp, bs)
+        return both[:, 0], both[:, 1]
+    return (update_fields_batch(res444, mv[:, 0, 0], mv[:, 0, 1], block_size,
+                                update_factor, search_range),
+            update_fields_batch(res444, mv[:, 1, 0], mv[:, 1, 1], block_size,
+                                update_factor, search_range))
+
+
 def apply_update(even_444: jnp.ndarray, upd: jnp.ndarray, sign: int
                  ) -> jnp.ndarray:
     """clip(frame ± upd, 0, 255) with the integer update (update.cpp:99-115

@@ -103,9 +103,52 @@ def synthesize(x: jnp.ndarray, levels: int, filt: str = "5/3") -> jnp.ndarray:
 # motion_estimate.cpp:361-407)
 # ---------------------------------------------------------------------------
 
+def _interp_axis(x: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """Zero-high 5/3 synthesis along one axis, closed form.
+
+    With all high samples zero, ``inv53`` collapses to even = low and odd =
+    ``tdiv(l[i] + l[i+1], 2)`` (right edge replicated) — plain linear
+    interpolation with the reference's truncating division.  Avoids the
+    packed transform's canvas writes and axis moves entirely (this runs in
+    the MCTF hot path: chroma 4:2:0 -> 4:4:4 per frame per level)."""
+    if axis == -1:
+        nxt = jnp.concatenate([x[..., 1:], x[..., -1:]], axis=-1)
+        odd = lifting.tdiv(x + nxt, 2)
+        out = jnp.stack([x, odd], axis=-1)
+        return out.reshape(out.shape[:-2] + (2 * x.shape[-1],))
+    assert axis == -2
+    nxt = jnp.concatenate([x[..., 1:, :], x[..., -1:, :]], axis=-2)
+    odd = lifting.tdiv(x + nxt, 2)
+    out = jnp.stack([x, odd], axis=-2)
+    return out.reshape(out.shape[:-3] + (2 * x.shape[-2],) + x.shape[-1:])
+
+
+def _low_axis(x: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """Forward 5/3 low band along one even-length axis, closed form
+    (``fwd53`` even branch without materializing the packed high half)."""
+    if axis == -1:
+        se, so = x[..., 0::2], x[..., 1::2]
+        se_next = jnp.concatenate([se[..., 1:], se[..., -1:]], axis=-1)
+        h = so - lifting.tdiv(se + se_next, 2)
+        h_left = jnp.concatenate([h[..., :1], h[..., :-1]], axis=-1)
+        return se + lifting.tdiv(h + h_left, 4)
+    assert axis == -2
+    se, so = x[..., 0::2, :], x[..., 1::2, :]
+    se_next = jnp.concatenate([se[..., 1:, :], se[..., -1:, :]], axis=-2)
+    h = so - lifting.tdiv(se + se_next, 2)
+    h_left = jnp.concatenate([h[..., :1, :], h[..., :-1, :]], axis=-2)
+    return se + lifting.tdiv(h + h_left, 4)
+
+
 def upsample2(x: jnp.ndarray, filt: str = "5/3") -> jnp.ndarray:
     """Interpolate x2 in both dimensions: place ``x`` as the LL band of a
-    double-size canvas with zero high bands and run one synthesis level."""
+    double-size canvas with zero high bands and run one synthesis level.
+
+    For the 5/3 bank this uses the closed form (columns then rows, matching
+    ``synthesize``'s pass order exactly — truncating division makes the
+    order observable); other filters take the generic packed path."""
+    if filt == "5/3":
+        return _interp_axis(_interp_axis(x, -2), -1)
     H, W = x.shape[-2], x.shape[-1]
     canvas = jnp.zeros(x.shape[:-2] + (2 * H, 2 * W), dtype=x.dtype)
     canvas = canvas.at[..., :H, :W].set(x)
@@ -114,8 +157,14 @@ def upsample2(x: jnp.ndarray, filt: str = "5/3") -> jnp.ndarray:
 
 def downsample2(x: jnp.ndarray, filt: str = "5/3") -> jnp.ndarray:
     """One analysis level, returning the LL band (chroma 444->420 path,
-    decorrelate.cpp:860-861)."""
+    decorrelate.cpp:860-861).
+
+    5/3 with even dims uses the closed form (rows then columns, matching
+    ``analyze``'s pass order; the column pass touches only the low rows);
+    odd dims / other filters take the generic packed path."""
     H, W = x.shape[-2], x.shape[-1]
+    if filt == "5/3" and H % 2 == 0 and W % 2 == 0:
+        return _low_axis(_low_axis(x, -1), -2)
     packed = analyze(x, 1, filt)
     return packed[..., :H - H // 2, :W - W // 2]
 

@@ -175,6 +175,84 @@ def predict_pallas(ref_prev_pad: jnp.ndarray, ref_next_pad: jnp.ndarray,
       *([ref_next_pad] * (3 * nx)))
 
 
+def _update2_kernel(mv_ref, *args, bs: int, C: int, fx: int, nx: int):
+    """Both update directions in one pass: the contribution staging (the
+    HBM-heavy part) is shared, and the column rotate runs on the sliced
+    center rows per component (bs x window) instead of the full 3-slab
+    scratch — 2/3 of the rotate work of the one-direction kernel per
+    direction."""
+    refs = args[0:3 * nx]
+    out_ref, scr = args[3 * nx], args[3 * nx + 1]
+    p = pl.program_id(0)
+    i = pl.program_id(1)
+    j = pl.program_id(2)
+    nby = pl.num_programs(1)
+    nbx = pl.num_programs(2) * fx
+    _assemble(scr, refs, bs, fx, nx, C)
+    R = C * 3 * bs
+    rows = jax.lax.broadcasted_iota(jnp.int32, (bs, bs), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (bs, bs), 1)
+    stride = (nby + 2) * (nbx + 2)
+    for s in range(fx):
+        jj = j * fx + s
+        win, lane0 = _window(scr, bs, fx, s)
+        Wn = win.shape[1]
+        for d in range(2):
+            acc = [jnp.zeros((bs, bs), jnp.int32) for _ in range(C)]
+            for dy in (-1, 0, 1):
+                for dx in (-1, 0, 1):
+                    idx = (((p * 2 + d) * 2) * stride
+                           + (i + 1 + dy) * (nbx + 2) + (jj + 1 + dx))
+                    myd = mv_ref[idx]
+                    mxd = mv_ref[idx + stride]
+                    rowr = pltpu.roll(win, _norm(myd, R), 0)
+                    lo_r = dy * bs + myd
+                    lo_c = dx * bs + mxd
+                    m = ((rows >= lo_r) & (rows < lo_r + bs) &
+                         (cols >= lo_c) & (cols < lo_c + bs))
+                    for c in range(C):
+                        rc = pltpu.roll(
+                            rowr[(c * 3 + 1) * bs:(c * 3 + 2) * bs, :],
+                            _norm(mxd, Wn), 1)
+                        sl = rc[:, lane0:lane0 + bs]
+                        acc[c] = acc[c] + jnp.where(m, sl, 0)
+            for c in range(C):
+                out_ref[0, d, c, :, s * bs:(s + 1) * bs] = acc[c]
+
+
+@partial(jax.jit, static_argnames=("block_size",))
+def update2_pallas(contrib_pad: jnp.ndarray, mv_pad: jnp.ndarray,
+                   block_size: int) -> jnp.ndarray:
+    """Accumulated MC update for BOTH directions in one fused kernel.
+
+    ``contrib_pad``: (P, C, H + 2bs, W + 2*fx*bs) int16, zero-padded;
+    ``mv_pad``: (P, 2 dirs, 2 comps(y,x), By + 2, Bx + 2) int32 with
+    zeroed borders, |mv| <= bs.  Returns (P, 2, C, H, W) int32
+    contribution sums (dir 0 = PREV reference, dir 1 = NEXT)."""
+    bs = block_size
+    fx = _fx(bs)
+    P, C, Hp, Wp = contrib_pad.shape
+    H, W = Hp - 2 * bs, Wp - 2 * fx * bs
+    By, Bx = H // bs, W // bs
+    specs, nx = _views(bs, fx, C)
+    grid = (P, By, Bx // fx)
+    return pl.pallas_call(
+        partial(_update2_kernel, bs=bs, C=C, fx=fx, nx=nx),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=specs,
+            out_specs=pl.BlockSpec(
+                (1, 2, C, bs, fx * bs), lambda p, i, j, *_: (p, 0, 0, i, j),
+                memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((C * 3 * bs, nx * fx * bs), jnp.int32),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((P, 2, C, H, W), jnp.int32),
+    )(mv_pad.reshape(-1), *([contrib_pad] * (3 * nx)))
+
+
 def _update_kernel(mv_ref, *args, bs: int, C: int, fx: int, nx: int):
     refs = args[0:3 * nx]
     out_ref, scr = args[3 * nx], args[3 * nx + 1]

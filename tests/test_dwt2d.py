@@ -64,6 +64,50 @@ def test_upsample_downsample_roundtrip(rng):
     np.testing.assert_array_equal(np.asarray(down), np.asarray(x))
 
 
+def _upsample2_packed(x, filt="5/3"):
+    H, W = x.shape[-2], x.shape[-1]
+    canvas = jnp.zeros(x.shape[:-2] + (2 * H, 2 * W), dtype=x.dtype)
+    canvas = canvas.at[..., :H, :W].set(x)
+    return dwt2d.synthesize(canvas, 1, filt)
+
+
+def _downsample2_packed(x, filt="5/3"):
+    H, W = x.shape[-2], x.shape[-1]
+    packed = dwt2d.analyze(x, 1, filt)
+    return packed[..., :H - H // 2, :W - W // 2]
+
+
+@pytest.mark.parametrize("shape", [(12, 16), (11, 16), (12, 15), (1, 1),
+                                   (3, 128), (17, 19)])
+def test_upsample2_closed_form_matches_packed(shape, rng):
+    """The zero-high 5/3 synthesis closed form must be bit-identical to the
+    generic packed path, including negative values (truncating division)."""
+    x = jnp.asarray(rng.integers(-300, 300, size=shape, dtype=np.int32))
+    np.testing.assert_array_equal(np.asarray(dwt2d.upsample2(x)),
+                                  np.asarray(_upsample2_packed(x)))
+
+
+@pytest.mark.parametrize("shape", [(12, 16), (2, 2), (8, 128), (34, 62)])
+def test_downsample2_closed_form_matches_packed(shape, rng):
+    x = jnp.asarray(rng.integers(-300, 300, size=shape, dtype=np.int32))
+    np.testing.assert_array_equal(np.asarray(dwt2d.downsample2(x)),
+                                  np.asarray(_downsample2_packed(x)))
+
+
+def test_downsample2_odd_dims_fallback(rng):
+    x = jnp.asarray(rng.integers(-300, 300, size=(11, 15), dtype=np.int32))
+    np.testing.assert_array_equal(np.asarray(dwt2d.downsample2(x)),
+                                  np.asarray(_downsample2_packed(x)))
+
+
+def test_resample_batched(rng):
+    x = jnp.asarray(rng.integers(-300, 300, size=(3, 10, 14), dtype=np.int32))
+    np.testing.assert_array_equal(np.asarray(dwt2d.upsample2(x)),
+                                  np.asarray(_upsample2_packed(x)))
+    np.testing.assert_array_equal(np.asarray(dwt2d.downsample2(x)),
+                                  np.asarray(_downsample2_packed(x)))
+
+
 def test_ll_view(rng):
     x = jnp.asarray(rng.integers(0, 256, size=(32, 48), dtype=np.int32))
     ana = dwt2d.analyze(x, 2)

@@ -83,3 +83,37 @@ def test_update_pallas_extreme_vectors(rng):
             jnp.asarray(_pad_zero(contrib, bs, fx)),
             jnp.asarray(mvp[:, 0]), jnp.asarray(mvp[:, 1]), bs)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_update2_pallas_matches_two_directions(rng):
+    """The fused both-directions kernel must equal two one-direction lax
+    updates bit-exactly (including the |mv| == bs boundary)."""
+    res = rng.integers(-128, 128, (P, 3, H, W)).astype(np.int16)
+    mv = rng.integers(-BS, BS + 1, (P, 2, 2, BY, BX)).astype(np.int32)
+    want = [jax.vmap(lambda r, my, mx: update._update_field(
+        r, my, mx, BS, 0.25, BS))(jnp.asarray(res),
+                                  jnp.asarray(mv[:, d, 0]),
+                                  jnp.asarray(mv[:, d, 1]))
+            for d in range(2)]
+    contrib = np.floor(res.astype(np.float32) * 0.25).astype(np.int16)
+    mvp = np.pad(mv, [(0, 0), (0, 0), (0, 0), (1, 1), (1, 1)])
+    with pltpu.force_tpu_interpret_mode():
+        got = pallas_mc.update2_pallas(
+            jnp.asarray(_pad_zero(contrib, BS, FX)), jnp.asarray(mvp), BS)
+    np.testing.assert_array_equal(np.asarray(got[:, 0]), np.asarray(want[0]))
+    np.testing.assert_array_equal(np.asarray(got[:, 1]), np.asarray(want[1]))
+
+
+def test_update_fields_batch2_matches_single(rng):
+    """update_fields_batch2 (whatever backend path) == two
+    update_fields_batch calls."""
+    res = rng.integers(-128, 128, (P, 3, H, W)).astype(np.int16)
+    mv = rng.integers(-SR, SR + 1, (P, 2, 2, BY, BX)).astype(np.int32)
+    up, un = update.update_fields_batch2(jnp.asarray(res), jnp.asarray(mv),
+                                         BS, 0.25, SR)
+    wp = update.update_fields_batch(jnp.asarray(res), jnp.asarray(mv[:, 0, 0]),
+                                    jnp.asarray(mv[:, 0, 1]), BS, 0.25, SR)
+    wn = update.update_fields_batch(jnp.asarray(res), jnp.asarray(mv[:, 1, 0]),
+                                    jnp.asarray(mv[:, 1, 1]), BS, 0.25, SR)
+    np.testing.assert_array_equal(np.asarray(up), np.asarray(wp))
+    np.testing.assert_array_equal(np.asarray(un), np.asarray(wn))

@@ -81,14 +81,14 @@ def main():
 
         t0 = time.time()
         pendings = [frame_codec.encode_frames_dispatch_sparse(
-            p, cfg.SRLs - 1, False, delta, cfg.codeblock_size)
-            for (p, _) in stacks]
-        force([p[1] for p in pendings])        # tiles ready
+            p, cfg.SRLs - 1, False, delta, cfg.codeblock_size, mt, "bp")
+            for (p, mt) in stacks]
+        force([p[1] for p in pendings])        # compact tiles ready
         print(f"{'DWT+quant+tile (device)':34s} {time.time()-t0:7.3f}s",
               flush=True)
 
         t0 = time.time()
-        force([p[3] for p in pendings])        # smax: bp R-D sim done
+        force([p[3] for p in pendings])        # keep: bp R-D sim done
         print(f"{'bp R-D sim (device)':34s} {time.time()-t0:7.3f}s",
               flush=True)
 
