@@ -144,11 +144,48 @@ def _refine_level(pred: jnp.ndarray, ref_prev: jnp.ndarray,
 def _upsample_mv(mv: jnp.ndarray, by_c: int, bx_c: int,
                  by_f: int, bx_f: int) -> jnp.ndarray:
     """Duplicate the coarse (by_c, bx_c) field 2x2 onto the finer grid
-    (packed-Haar-with-zero-highs semantics, motion_estimate.cpp:314-317)."""
-    coarse = mv[:, :, :by_c, :bx_c]
-    up = jnp.repeat(jnp.repeat(coarse, 2, axis=2), 2, axis=3)
-    up = up[:, :, :by_f, :bx_f]
-    return mv.at[:, :, :by_f, :bx_f].set(up)
+    (packed-Haar-with-zero-highs semantics, motion_estimate.cpp:314-317).
+    Works on (..., 2, 2, By, Bx) fields (any leading batch axes)."""
+    coarse = mv[..., :by_c, :bx_c]
+    up = jnp.repeat(jnp.repeat(coarse, 2, axis=-2), 2, axis=-1)
+    up = up[..., :by_f, :bx_f]
+    return mv.at[..., :by_f, :bx_f].set(up)
+
+
+def _refine_level_batch(preds: jnp.ndarray, prevs: jnp.ndarray,
+                        nexts: jnp.ndarray, mv: jnp.ndarray,
+                        block_size: int, border: int, ny: int, nx: int,
+                        max_mv: int) -> jnp.ndarray:
+    """Batched spiral refinement of a whole level's frame pairs.
+
+    ``preds``/``prevs``/``nexts``: (P, H', W') lumas whose active region
+    is (ny, nx); ``mv``: (P, 2, 2, By, Bx).  Uses the fused Pallas SAD
+    kernel on TPU when the geometry allows (ops/pallas_me.py), the
+    vmapped lax patch-gather formulation otherwise; both are
+    bit-identical (same spiral order, tie rule and clamped reads)."""
+    from ..ops import pallas_me
+    P, _, _, By, Bx = mv.shape
+    bs = block_size
+    if (jax.default_backend() != "cpu" and Bx <= 128
+            and pallas_me.supported(bs, border, max_mv)):
+        fx = pallas_me._fx(bs)
+        bxp = -(-Bx // fx) * fx
+        if bxp <= 128:
+            def pad_img(x):
+                act = x[:, :ny, :nx].astype(jnp.int32)
+                return jnp.pad(
+                    act, ((0, 0), (bs, By * bs + bs - ny),
+                          (fx * bs, bxp * bs + fx * bs - nx)), mode="edge")
+            mvp = jnp.pad(mv, ((0, 0), (0, 0), (0, 0), (0, 0),
+                               (0, bxp - Bx)))
+            d = pallas_me.refine_pallas(pad_img(preds), pad_img(prevs),
+                                        pad_img(nexts), mvp, bs)[..., :Bx]
+            upd = jnp.stack([jnp.stack([d[:, 0], d[:, 1]], axis=1),
+                             jnp.stack([d[:, 2], d[:, 3]], axis=1)], axis=1)
+            return mv + upd
+    f = partial(_refine_level, block_size=bs, border=border, ny=ny, nx=nx,
+                max_mv=max_mv)
+    return jax.vmap(f)(preds, prevs, nexts, mv)
 
 
 def estimate_pair(pred: jnp.ndarray, ref_prev: jnp.ndarray,
@@ -160,66 +197,9 @@ def estimate_pair(pred: jnp.ndarray, ref_prev: jnp.ndarray,
     Returns mv of shape (2, 2, By, Bx): [PREV|NEXT][y|x][by][bx], such that
     ``ref[ y + mv_y, x + mv_x ]`` predicts ``pred[y, x]``.
     """
-    H, W = pred.shape
-    By, Bx = H // block_size, W // block_size
-    dwt_levels = max(int(round(math.log2(search_range))) - 1, 0)
-
-    def ll_pyramid(img):
-        """LL images at depths 0..dwt_levels (depth l = what the reference
-        sees after synthesizing back to level l,
-        motion_estimate.cpp:283-309).
-
-        Only the LL band is ever consumed, so each level uses the
-        closed-form 5/3 low-pass (``downsample2``) — bit-identical to the
-        packed ``analyze`` LL corner but without computing or packing the
-        three high bands (the pyramid runs per frame pair per temporal
-        level; this is the ME hot path's biggest DWT cost)."""
-        lls = [img]
-        cur = img
-        for _ in range(dwt_levels):
-            cur = dwt2d.downsample2(cur)
-            lls.append(cur)
-        return lls
-
-    lls_pred = ll_pyramid(pred)
-    lls_prev = ll_pyramid(ref_prev)
-    lls_next = ll_pyramid(ref_next)
-
-    mv = jnp.zeros((2, 2, By, Bx), dtype=jnp.int32)
-
-    # coarsest level first (motion_estimate.cpp:292-298)
-    ny, nx = _ceil_half(H, dwt_levels), _ceil_half(W, dwt_levels)
-    by_l, bx_l = _ceil_half(By, dwt_levels), _ceil_half(Bx, dwt_levels)
-    mv_l = _refine_level(lls_pred[dwt_levels], lls_prev[dwt_levels],
-                         lls_next[dwt_levels],
-                         mv[:, :, :by_l, :bx_l],
-                         block_size, border_size, ny, nx, search_range)
-    mv = mv.at[:, :, :by_l, :bx_l].set(mv_l)
-
-    for l in range(dwt_levels - 1, -1, -1):
-        ny, nx = _ceil_half(H, l), _ceil_half(W, l)
-        by_f, bx_f = _ceil_half(By, l), _ceil_half(Bx, l)
-        by_c, bx_c = _ceil_half(By, l + 1), _ceil_half(Bx, l + 1)
-        mv = _upsample_mv(mv, by_c, bx_c, by_f, bx_f)
-        mv = jnp.clip(mv * 2, -search_range, search_range)
-        mv_l = _refine_level(
-            lls_pred[l], lls_prev[l], lls_next[l],
-            mv[:, :, :by_f, :bx_f], block_size, border_size, ny, nx,
-            search_range)
-        mv = mv.at[:, :, :by_f, :bx_f].set(mv_l)
-
-    if subpixel_accuracy > 0:
-        up_pred, up_prev, up_next = pred, ref_prev, ref_next
-        for s in range(1, subpixel_accuracy + 1):
-            up_pred = dwt2d.upsample2(up_pred)
-            up_prev = dwt2d.upsample2(up_prev)
-            up_next = dwt2d.upsample2(up_next)
-            cap = search_range << subpixel_accuracy
-            mv = jnp.clip(mv * 2, -cap, cap)
-            mv = _refine_level(up_pred, up_prev, up_next, mv,
-                               block_size << s, border_size >> s,
-                               H << s, W << s, cap)
-    return mv
+    return estimate_sequence(jnp.stack([ref_prev, ref_next]), pred[None],
+                             block_size, search_range, border_size,
+                             subpixel_accuracy)[0]
 
 
 @partial(jax.jit, static_argnames=("block_size", "search_range",
@@ -233,8 +213,67 @@ def estimate_sequence(evens: jnp.ndarray, odds: jnp.ndarray,
     ``evens``: (P+1, H, W) luma; ``odds``: (P, H, W).  Pair i uses
     (evens[i], odds[i], evens[i+1]) (motion_estimate.cpp:784-907).
     Returns (P, 2, 2, By, Bx).
+
+    Batched end to end: the DWT pyramid is built ONCE per frame stack
+    (each interior even frame previously downsampled twice, once as PREV
+    and once as NEXT of adjacent pairs), and each refinement level runs
+    all pairs through one fused Pallas SAD kernel on TPU
+    (ops/pallas_me.py) or one vmapped gather formulation elsewhere.
     """
-    f = partial(estimate_pair, block_size=block_size,
-                search_range=search_range, border_size=border_size,
-                subpixel_accuracy=subpixel_accuracy)
-    return jax.vmap(f)(odds, evens[:-1], evens[1:])
+    P = odds.shape[0]
+    H, W = odds.shape[-2], odds.shape[-1]
+    By, Bx = H // block_size, W // block_size
+    dwt_levels = max(int(round(math.log2(search_range))) - 1, 0)
+
+    def ll_pyramid(stack):
+        """LL stacks at depths 0..dwt_levels (depth l = what the reference
+        sees after synthesizing back to level l,
+        motion_estimate.cpp:283-309).
+
+        Only the LL band is ever consumed, so each level uses the
+        closed-form 5/3 low-pass (``downsample2``) — bit-identical to the
+        packed ``analyze`` LL corner but without computing or packing the
+        three high bands."""
+        lls = [stack]
+        for _ in range(dwt_levels):
+            lls.append(dwt2d.downsample2(lls[-1]))
+        return lls
+
+    lls_e = ll_pyramid(evens)
+    lls_o = ll_pyramid(odds)
+
+    mv = jnp.zeros((P, 2, 2, By, Bx), dtype=jnp.int32)
+
+    # coarsest level first (motion_estimate.cpp:292-298)
+    ny, nx = _ceil_half(H, dwt_levels), _ceil_half(W, dwt_levels)
+    by_l, bx_l = _ceil_half(By, dwt_levels), _ceil_half(Bx, dwt_levels)
+    mv_l = _refine_level_batch(lls_o[dwt_levels], lls_e[dwt_levels][:-1],
+                               lls_e[dwt_levels][1:],
+                               mv[..., :by_l, :bx_l],
+                               block_size, border_size, ny, nx,
+                               search_range)
+    mv = mv.at[..., :by_l, :bx_l].set(mv_l)
+
+    for l in range(dwt_levels - 1, -1, -1):
+        ny, nx = _ceil_half(H, l), _ceil_half(W, l)
+        by_f, bx_f = _ceil_half(By, l), _ceil_half(Bx, l)
+        by_c, bx_c = _ceil_half(By, l + 1), _ceil_half(Bx, l + 1)
+        mv = _upsample_mv(mv, by_c, bx_c, by_f, bx_f)
+        mv = jnp.clip(mv * 2, -search_range, search_range)
+        mv_l = _refine_level_batch(
+            lls_o[l], lls_e[l][:-1], lls_e[l][1:],
+            mv[..., :by_f, :bx_f], block_size, border_size, ny, nx,
+            search_range)
+        mv = mv.at[..., :by_f, :bx_f].set(mv_l)
+
+    if subpixel_accuracy > 0:
+        up_e, up_o = evens, odds
+        for s in range(1, subpixel_accuracy + 1):
+            up_e = dwt2d.upsample2(up_e)
+            up_o = dwt2d.upsample2(up_o)
+            cap = search_range << subpixel_accuracy
+            mv = jnp.clip(mv * 2, -cap, cap)
+            mv = _refine_level_batch(up_o, up_e[:-1], up_e[1:], mv,
+                                     block_size << s, border_size >> s,
+                                     H << s, W << s, cap)
+    return mv
