@@ -40,13 +40,26 @@ def _level_sizes(n: int, levels: int) -> List[int]:
 
 
 def _fwd_axis(x: jnp.ndarray, filt: str, axis: int) -> jnp.ndarray:
-    """One packed forward 1D transform along ``axis`` (low | high layout)."""
+    """One packed forward 1D transform along ``axis`` (low | high layout).
+
+    The 5/3 and 9/7 banks run natively along either of the last two axes
+    (sublane-strided slicing); the column pass previously went through
+    ``moveaxis`` — two full relayouts of the frame stack per level."""
+    if axis in (-1, -2) and filt in lifting.AXIS_AWARE:
+        l, h = lifting.fwd(filt, x, axis=axis)
+        return jnp.concatenate([l, h], axis=axis)
     xm = jnp.moveaxis(x, axis, -1)
     l, h = lifting.fwd(filt, xm)
     return jnp.moveaxis(jnp.concatenate([l, h], axis=-1), -1, axis)
 
 
 def _inv_axis(x: jnp.ndarray, filt: str, axis: int, n_low: int) -> jnp.ndarray:
+    if axis in (-1, -2) and filt in lifting.AXIS_AWARE:
+        if axis == -1:
+            return lifting.inv(filt, x[..., :n_low], x[..., n_low:],
+                               axis=axis)
+        return lifting.inv(filt, x[..., :n_low, :], x[..., n_low:, :],
+                           axis=axis)
     xm = jnp.moveaxis(x, axis, -1)
     s = lifting.inv(filt, xm[..., :n_low], xm[..., n_low:])
     return jnp.moveaxis(s, -1, axis)

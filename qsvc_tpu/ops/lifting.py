@@ -33,16 +33,41 @@ def tdiv(x: jnp.ndarray, d: int) -> jnp.ndarray:
     return lax.div(x, jnp.asarray(d, dtype=x.dtype))
 
 
-def _split_phases(s: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    return s[..., 0::2], s[..., 1::2]
+def _ops(axis: int):
+    """Axis-aware slice/concat helpers: the 5/3 and 9/7 banks run
+    natively along the last OR the second-to-last axis.  The generic 2D
+    driver previously ran column passes via ``moveaxis`` — two full
+    relayouts of the frame stack per level; sublane-strided slicing
+    avoids them entirely (axis=-2 simply appends a ``:`` to every
+    index)."""
+    if axis == -1:
+        return (lambda x, s: x[..., s],
+                lambda parts: jnp.concatenate(parts, axis=-1))
+    assert axis == -2
+    return (lambda x, s: x[..., s, :],
+            lambda parts: jnp.concatenate(parts, axis=-2))
 
 
-def _interleave(even: jnp.ndarray, odd: jnp.ndarray, n: int) -> jnp.ndarray:
+def _split_phases(s: jnp.ndarray, axis: int = -1
+                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    sl, _ = _ops(axis)
+    return sl(s, slice(0, None, 2)), sl(s, slice(1, None, 2))
+
+
+def _interleave(even: jnp.ndarray, odd: jnp.ndarray, n: int,
+                axis: int = -1) -> jnp.ndarray:
     """Inverse of _split_phases for a length-n signal."""
-    batch = even.shape[:-1]
-    out = jnp.zeros(batch + (n,), dtype=even.dtype)
-    out = out.at[..., 0::2].set(even)
-    out = out.at[..., 1::2].set(odd)
+    if axis == -1:
+        batch = even.shape[:-1]
+        out = jnp.zeros(batch + (n,), dtype=even.dtype)
+        out = out.at[..., 0::2].set(even)
+        out = out.at[..., 1::2].set(odd)
+        return out
+    assert axis == -2
+    shape = even.shape[:-2] + (n,) + even.shape[-1:]
+    out = jnp.zeros(shape, dtype=even.dtype)
+    out = out.at[..., 0::2, :].set(even)
+    out = out.at[..., 1::2, :].set(odd)
     return out
 
 
@@ -50,8 +75,9 @@ def _interleave(even: jnp.ndarray, odd: jnp.ndarray, n: int) -> jnp.ndarray:
 # 5/3 filter bank (reference 5_3.cpp:39-115 semantics)
 # ---------------------------------------------------------------------------
 
-def fwd53(s: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Forward 5/3 lifting along the last axis.
+def fwd53(s: jnp.ndarray, axis: int = -1
+          ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Forward 5/3 lifting along ``axis`` (last or second-to-last).
 
     Returns ``(low, high)`` with ``len(low) == ceil(n/2)`` and
     ``len(high) == floor(n/2)``.  Matches ``5_3.cpp`` even_analyze /
@@ -61,43 +87,44 @@ def fwd53(s: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     * odd  n: extra low sample ``l[m] = s[n-1] + h[m-1]/2``
     * ``l[0] = s[0] + h[0]/2`` (left fold)
     """
-    n = s.shape[-1]
+    sl, cat = _ops(axis)
+    n = s.shape[axis]
     if n == 1:
-        return s, s[..., :0]
-    se, so = _split_phases(s)            # even phase: ceil(n/2), odd: floor
-    m = so.shape[-1]
+        return s, sl(s, slice(0, 0))
+    se, so = _split_phases(s, axis)      # even phase: ceil(n/2), odd: floor
     if n % 2 == 0:
         # right neighbour of the last odd sample folds onto s[n-2]:
         # tdiv(2*x, 2) == x exactly, so a replicated edge gives h=s[n-1]-s[n-2].
-        se_next = jnp.concatenate([se[..., 1:], se[..., -1:]], axis=-1)
+        se_next = cat([sl(se, slice(1, None)), sl(se, slice(-1, None))])
         h = so - tdiv(se + se_next, 2)
-        h_left = jnp.concatenate([h[..., :1], h[..., :-1]], axis=-1)
+        h_left = cat([sl(h, slice(0, 1)), sl(h, slice(None, -1))])
         l = se + tdiv(h + h_left, 4)     # l[0]: tdiv(2*h0,4) == tdiv(h0,2)
     else:
-        h = so - tdiv(se[..., :-1] + se[..., 1:], 2)
-        h_left = jnp.concatenate([h[..., :1], h], axis=-1)
-        h_right = jnp.concatenate([h, h[..., -1:]], axis=-1)
+        h = so - tdiv(sl(se, slice(None, -1)) + sl(se, slice(1, None)), 2)
+        h_left = cat([sl(h, slice(0, 1)), h])
+        h_right = cat([h, sl(h, slice(-1, None))])
         l = se + tdiv(h_right + h_left, 4)
     return l, h
 
 
-def inv53(l: jnp.ndarray, h: jnp.ndarray) -> jnp.ndarray:
+def inv53(l: jnp.ndarray, h: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
     """Inverse 5/3 lifting; exact inverse of :func:`fwd53`."""
-    m = h.shape[-1]
-    n = l.shape[-1] + m
+    sl, cat = _ops(axis)
+    m = h.shape[axis]
+    n = l.shape[axis] + m
     if m == 0:
         return l
     if n % 2 == 0:
-        h_left = jnp.concatenate([h[..., :1], h[..., :-1]], axis=-1)
+        h_left = cat([sl(h, slice(0, 1)), sl(h, slice(None, -1))])
         se = l - tdiv(h + h_left, 4)
-        se_next = jnp.concatenate([se[..., 1:], se[..., -1:]], axis=-1)
+        se_next = cat([sl(se, slice(1, None)), sl(se, slice(-1, None))])
         so = h + tdiv(se + se_next, 2)
     else:
-        h_left = jnp.concatenate([h[..., :1], h], axis=-1)
-        h_right = jnp.concatenate([h, h[..., -1:]], axis=-1)
+        h_left = cat([sl(h, slice(0, 1)), h])
+        h_right = cat([h, sl(h, slice(-1, None))])
         se = l - tdiv(h_right + h_left, 4)
-        so = h + tdiv(se[..., :-1] + se[..., 1:], 2)
-    return _interleave(se, so, n)
+        so = h + tdiv(sl(se, slice(None, -1)) + sl(se, slice(1, None)), 2)
+    return _interleave(se, so, n, axis)
 
 
 # ---------------------------------------------------------------------------
@@ -344,54 +371,57 @@ D97 = 0.443506852043971
 K97 = 1.230174104914001
 
 
-def _lift_odd(se, so, coef, n_even_extra):
+def _lift_odd(se, so, coef, n_even_extra, axis=-1):
     """so += coef * (se_i + se_{i+1}) with symmetric edge clamping."""
+    sl, cat = _ops(axis)
     if n_even_extra:                      # odd n: se has one extra sample
-        left = se[..., :-1]
-        right = se[..., 1:]
+        left = sl(se, slice(None, -1))
+        right = sl(se, slice(1, None))
     else:                                 # even n: clamp right edge
         left = se
-        right = jnp.concatenate([se[..., 1:], se[..., -1:]], axis=-1)
+        right = cat([sl(se, slice(1, None)), sl(se, slice(-1, None))])
     return so + coef * (left + right)
 
 
-def _lift_even(se, so, coef):
+def _lift_even(se, so, coef, axis=-1):
     """se += coef * (so_{i-1} + so_i) with symmetric edge clamping (works
     for both parities: trailing even sample clamps to so[-1])."""
-    m = so.shape[-1]
-    nl = se.shape[-1]
-    so_left = jnp.concatenate([so[..., :1], so], axis=-1)[..., :nl]
-    so_right = jnp.concatenate([so, so[..., -1:]], axis=-1)[..., :nl]
+    sl, cat = _ops(axis)
+    nl = se.shape[axis]
+    so_left = sl(cat([sl(so, slice(0, 1)), so]), slice(None, nl))
+    so_right = sl(cat([so, sl(so, slice(-1, None))]), slice(None, nl))
     return se + coef * (so_left + so_right)
 
 
-def fwd97(s: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Forward CDF 9/7 lifting (float32/float64) along the last axis."""
-    n = s.shape[-1]
+def fwd97(s: jnp.ndarray, axis: int = -1
+          ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Forward CDF 9/7 lifting (float32/float64) along ``axis``."""
+    sl, _ = _ops(axis)
+    n = s.shape[axis]
     if n == 1:
-        return s, s[..., :0]
-    se, so = _split_phases(s)
+        return s, sl(s, slice(0, 0))
+    se, so = _split_phases(s, axis)
     odd_n = n % 2 == 1
-    so = _lift_odd(se, so, A97, odd_n)
-    se = _lift_even(se, so, B97)
-    so = _lift_odd(se, so, G97, odd_n)
-    se = _lift_even(se, so, D97)
+    so = _lift_odd(se, so, A97, odd_n, axis)
+    se = _lift_even(se, so, B97, axis)
+    so = _lift_odd(se, so, G97, odd_n, axis)
+    se = _lift_even(se, so, D97, axis)
     return se * (1.0 / K97), so * K97
 
 
-def inv97(l: jnp.ndarray, h: jnp.ndarray) -> jnp.ndarray:
-    m = h.shape[-1]
-    n = l.shape[-1] + m
+def inv97(l: jnp.ndarray, h: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
+    m = h.shape[axis]
+    n = l.shape[axis] + m
     if m == 0:
         return l
     se = l * K97
     so = h * (1.0 / K97)
     odd_n = n % 2 == 1
-    se = _lift_even(se, so, -D97)
-    so = _lift_odd(se, so, -G97, odd_n)
-    se = _lift_even(se, so, -B97)
-    so = _lift_odd(se, so, -A97, odd_n)
-    return _interleave(se, so, n)
+    se = _lift_even(se, so, -D97, axis)
+    so = _lift_odd(se, so, -G97, odd_n, axis)
+    se = _lift_even(se, so, -B97, axis)
+    so = _lift_odd(se, so, -A97, odd_n, axis)
+    return _interleave(se, so, n, axis)
 
 
 FILTERS = {
@@ -403,9 +433,16 @@ FILTERS = {
 }
 
 
-def fwd(name: str, s: jnp.ndarray):
-    return FILTERS[name][0](s)
+AXIS_AWARE = {"5/3", "9/7"}     # run natively along axis -1 or -2
 
 
-def inv(name: str, l: jnp.ndarray, h: jnp.ndarray):
-    return FILTERS[name][1](l, h)
+def fwd(name: str, s: jnp.ndarray, axis: int = -1):
+    if axis == -1:
+        return FILTERS[name][0](s)
+    return FILTERS[name][0](s, axis=axis)
+
+
+def inv(name: str, l: jnp.ndarray, h: jnp.ndarray, axis: int = -1):
+    if axis == -1:
+        return FILTERS[name][1](l, h)
+    return FILTERS[name][1](l, h, axis=axis)
