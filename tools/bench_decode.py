@@ -1,0 +1,56 @@
+"""Decode-side throughput at the bench config (BASELINE.json's metric
+mentions encode+decode; BASELINE.md's 30 fps target is encode-only).
+
+Measures `api.expand_gops` wall clock over the 4-GOP 1080p streams the
+encoder produces: host entropy decode of every code-block, upload of the
+packed coefficient planes (int16 — tunnel-bandwidth-bound in this dev
+environment, see PROFILE.md), and the fused device dequant+IDWT+inverse
+MCTF.  Prints one JSON line.
+
+Run from the repo root:  python tools/bench_decode.py
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+
+def main() -> int:
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.abspath(".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    from qsvc_tpu import api
+    from qsvc_tpu.config import CodecConfig
+    from qsvc_tpu.io import synthetic_video
+
+    cfg = CodecConfig(pixels_in_x=1920, pixels_in_y=1088, TRLs=5, GOPs=4,
+                      SRLs=5, search_range=4, update_factor=0.25,
+                      quantization_texture=45000)
+    vid = synthetic_video(cfg.pictures, cfg.pixels_in_y, cfg.pixels_in_x,
+                          seed=0)
+    streams = api.compress_gops(vid, cfg, reversible=False)
+
+    t0 = time.time()
+    rec = api.expand_gops(streams)
+    warm = time.time() - t0
+    t0 = time.time()
+    rec = api.expand_gops(streams)
+    dt = time.time() - t0
+    fps = vid.frames / dt
+    print(json.dumps({
+        "metric": "1080p_gop16_decode_fps_per_chip",
+        "value": round(fps, 3),
+        "unit": "fps",
+        "detail": {"frames": vid.frames, "seconds": round(dt, 2),
+                   "warmup_seconds": round(warm, 2),
+                   "device": str(jax.devices()[0])},
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
