@@ -80,6 +80,17 @@ def main() -> int:
     dt = time.time() - t0
     fps = vid.frames / dt
 
+    # quality at the headline operating point + decode-side throughput
+    # (VERDICT r3 items 1/4: a throughput number at an unverified quality
+    # point is gameable, and a codec whose decoder is untimed is
+    # half-benchmarked)
+    from qsvc_tpu.io.yuv import video_psnr
+    rec = api.expand_gops(streams)              # decode warmup/compile
+    t0 = time.time()
+    rec = api.expand_gops(streams)
+    dec_dt = time.time() - t0
+    psnr_y, psnr_u, psnr_v = video_psnr(vid, rec)
+
     nbytes = sum(len(s.to_bytes()) for s in streams)
     raw = vid.y.size * 3 // 2
     print(json.dumps({
@@ -94,6 +105,10 @@ def main() -> int:
             "warmup_seconds": round(warm, 2),
             "e2e_tunnel_fps": round(e2e_fps, 3),
             "bpp": round(nbytes * 8 / raw, 3),
+            "psnr_y": round(psnr_y, 3),
+            "psnr_u": round(psnr_u, 3),
+            "psnr_v": round(psnr_v, 3),
+            "decode_fps": round(vid.frames / dec_dt, 3),
             "device": str(jax.devices()[0]),
         },
     }))

@@ -76,6 +76,46 @@ def _operating_point(cfg: CodecConfig, reversible: bool,
     return delta, lossless, coder
 
 
+def _pad_to_grid(video: Video, cfg: CodecConfig
+                 ) -> Tuple[Video, CodecConfig,
+                            Optional[Tuple[int, int]], Optional[int]]:
+    """Pad arbitrary input to the coded grid (SURVEY §7 quirk fix: the
+    reference *rejects* dims not divisible by block_size and frame counts
+    != k*gop_size+1, trunk/readme.txt:102-110; here we edge-replicate
+    spatially and repeat the last frame temporally, record the true
+    geometry in the stream header (v4), and crop on decode).
+
+    Returns (padded video, cfg with coded geometry, true (W,H) or None,
+    true frame count or None)."""
+    H, W, n = video.height, video.width, video.frames
+    bs = cfg.auto_block_size if cfg.TRLs > 1 else 2
+    Ht, Wt = -(-H // bs) * bs, -(-W // bs) * bs
+    if cfg.TRLs > 1:
+        S = cfg.gop_size
+        gops = max(1, -(-(n - 1) // S))
+        nt = gops * S + 1
+    else:
+        gops = cfg.GOPs
+        nt = n
+    if (Ht, Wt, nt) == (H, W, n):
+        if (cfg.pixels_in_x, cfg.pixels_in_y, cfg.pictures) != (W, H, n):
+            cfg = cfg.replace(pixels_in_x=W, pixels_in_y=H, GOPs=gops)
+        return video, cfg, None, None
+
+    def pad(plane, h, w, frames):
+        p = np.asarray(plane)
+        return np.pad(p, ((0, frames - p.shape[0]), (0, h - p.shape[1]),
+                          (0, w - p.shape[2])), mode="edge")
+
+    video = Video(pad(video.y, Ht, Wt, nt),
+                  pad(video.u, Ht // 2, Wt // 2, nt),
+                  pad(video.v, Ht // 2, Wt // 2, nt))
+    cfg = cfg.replace(pixels_in_x=Wt, pixels_in_y=Ht, GOPs=gops)
+    return (video, cfg,
+            (W, H) if (Ht, Wt) != (H, W) else None,
+            n if nt != n else None)
+
+
 def compress_dispatch(video: Video, cfg: CodecConfig,
                       reversible: bool = True,
                       delta: Optional[float] = None,
@@ -96,6 +136,7 @@ def compress_dispatch(video: Video, cfg: CodecConfig,
     ONE for the compacted code-blocks (each host<->device round trip
     costs ~30 ms over a tunneled chip).
     """
+    video, cfg, true_dims, true_frames = _pad_to_grid(video, cfg)
     cfg.validate()
     delta, lossless, coder = _operating_point(cfg, reversible, delta,
                                               lossless)
@@ -114,6 +155,22 @@ def compress_dispatch(video: Video, cfg: CodecConfig,
         stream = transform.MCTFStream(y.astype(jnp.int16),
                                       u.astype(jnp.int16),
                                       v.astype(jnp.int16), ())
+    return _dispatch_stream(stream, cfg, reversible, delta, lossless,
+                            coder, true_dims, true_frames)
+
+
+def _dispatch_stream(stream: "transform.MCTFStream", cfg: CodecConfig,
+                     reversible: bool, delta: float, lossless: bool,
+                     coder: str,
+                     true_dims: Optional[Tuple[int, int]] = None,
+                     true_frames: Optional[int] = None) -> dict:
+    """Dispatch the entropy side of an encode for an already-computed MCTF
+    stream: the consolidated texture stacks (fused DWT+quant+tile+R-D sim
+    + device compaction) and the MV decorrelation.  The tail of
+    :func:`compress_dispatch`, shared with the halo-exact distributed path
+    (``parallel.distributed.compress_distributed`` feeds the per-GOP
+    shards of ``analyze_sharded`` through this same code so the
+    distributed byte streams are identical to the sequential ones)."""
     srl_levels = cfg.SRLs - 1
     cb = cfg.codeblock_size
     slopes = cfg.slopes()
@@ -152,7 +209,7 @@ def compress_dispatch(video: Video, cfg: CodecConfig,
                 luma_shape=luma.shape, chroma_shape=chroma.shape,
                 luma_thr=luma_thr_arr, chroma_thr=chroma_thr_arr,
                 pend_l=pend_l, pend_c=pend_c, residues_dev=residues_dev,
-                thr=thr)
+                thr=thr, true_dims=true_dims, true_frames=true_frames)
 
 
 def compress_finish_stats(pending: dict) -> dict:
@@ -249,7 +306,8 @@ def compress_finish(pending: dict) -> VideoStream:
         levels.append(LevelSection(high, motion, ftypes))
 
     return VideoStream(cfg, pending["reversible"], pending["delta"], low,
-                       levels)
+                       levels, true_dims=pending["true_dims"],
+                       true_frames=pending["true_frames"])
 
 
 def compress(video: Video, cfg: CodecConfig, reversible: bool = True,
@@ -282,22 +340,26 @@ def compress_gops(video: Video, cfg: CodecConfig, reversible: bool = True,
     transform run while GOP ``g``'s code-blocks are fetched and
     entropy-coded — steady-state throughput is max(upload, device, host)
     instead of their sum.
+
+    Arbitrary frame counts are allowed: the tail chunk is short and gets
+    frame-padded inside its own dispatch (true count in its v4 header),
+    so ``expand_gops`` reconstructs exactly the input frames.
     """
-    cfg.validate()
     S = cfg.gop_size
     gop_cfg = cfg.replace(GOPs=1)
+    G = max(1, -(-(video.frames - 1) // S)) if cfg.TRLs > 1 else cfg.GOPs
     chunks = [Video(video.y[g * S:(g + 1) * S + 1],
                     video.u[g * S:(g + 1) * S + 1],
                     video.v[g * S:(g + 1) * S + 1])
-              for g in range(cfg.GOPs)]
+              for g in range(G)]
     return compress_chunks(chunks, gop_cfg, reversible, delta, lossless,
                            window)
 
 
-def compress_chunks(chunks: List[Video], gop_cfg: CodecConfig,
+def compress_chunks(chunks, gop_cfg: CodecConfig,
                     reversible: bool = True, delta: Optional[float] = None,
                     lossless: Optional[bool] = None,
-                    window: int = 2) -> List[VideoStream]:
+                    window: int = 2, progress=None) -> List[VideoStream]:
     """Pipelined encode of a list of (already sliced) GOP chunks.
 
     Device-queue-aware interleave: GOP ``g``'s stats fetch + compact-slice
@@ -305,18 +367,29 @@ def compress_chunks(chunks: List[Video], gop_cfg: CodecConfig,
     slice programs sit directly behind their own GOP's encode in the FIFO
     device queue instead of behind ``window`` later encodes; the compact
     download and the host entropy coding of GOP ``g`` then overlap the
-    device compute of the following GOPs."""
+    device compute of the following GOPs.
+
+    ``chunks`` may be any iterable (a generator keeps memory bounded to
+    ``window`` in-flight GOPs); ``progress(index, stream)`` is called as
+    each GOP's stream is finished, in order."""
     pendings: List[dict] = []
     out: List[VideoStream] = []
+
+    def finish_one():
+        vs = compress_finish(pendings.pop(0))
+        if progress is not None:
+            progress(len(out), vs)
+        out.append(vs)
+
     for chunk in chunks:
         if len(pendings) >= max(window, 1):
-            out.append(compress_finish(pendings.pop(0)))
+            finish_one()
         if pendings and "_sel" not in pendings[0]:
             pendings[0] = compress_finish_stats(pendings[0])
         pendings.append(compress_dispatch(chunk, gop_cfg, reversible,
                                           delta, lossless))
     while pendings:
-        out.append(compress_finish(pendings.pop(0)))
+        finish_one()
     return out
 
 
@@ -343,23 +416,24 @@ def expand(vs: VideoStream, threshold: float = 0.0,
     use_levels = vs.levels[discard_TRLs:] if discard_TRLs else vs.levels
 
     lev_data = []
-    schedule = cfg.level_schedule()[discard_TRLs:]
-    for t, lev in enumerate(use_levels):
+    residue_fields = []
+    for lev in use_levels:
         hy, hu, hv = _decode_plane_set(lev.high, threshold)
         res = [codestream.decode_motion_field(m) for m in lev.motion]
-        lev_data.append((hy, hu, hv, np.stack(res) if res else None,
+        if res:
+            residue_fields.append(jnp.asarray(np.stack(res)))
+        lev_data.append((hy, hu, hv,
                          np.frombuffer(lev.frame_types, np.uint8) ==
                          ord("B")))
 
     # reconstruct motion fields (inverse inter-level/bidirectional coding)
-    residue_fields = [jnp.asarray(d[3]) for d in lev_data if d[3] is not None]
     if residue_fields:
         mv_fields = motion_coding.correlate_jit(residue_fields)
     else:
         mv_fields = []
 
     levels = []
-    for i, (hy, hu, hv, _res, is_b) in enumerate(lev_data):
+    for i, (hy, hu, hv, is_b) in enumerate(lev_data):
         levels.append(transform.LevelData(
             jnp.asarray(hy), jnp.asarray(hu), jnp.asarray(hv),
             mv_fields[i].astype(jnp.int32), jnp.asarray(is_b)))
@@ -370,9 +444,18 @@ def expand(vs: VideoStream, threshold: float = 0.0,
         ry, ru, rv = mstream.low_y, mstream.low_u, mstream.low_v
     else:
         ry, ru, rv = _synthesize_partial(mstream, cfg, discard_TRLs)
-    return Video(np.asarray(ry).astype(np.uint8),
-                 np.asarray(ru).astype(np.uint8),
-                 np.asarray(rv).astype(np.uint8))
+    vid = Video(np.asarray(ry).astype(np.uint8),
+                np.asarray(ru).astype(np.uint8),
+                np.asarray(rv).astype(np.uint8))
+    if vs.true_dims is not None or vs.true_frames is not None:
+        tw, th = vs.true_dims or (vid.width, vid.height)
+        tf = vs.true_frames if vs.true_frames is not None else vid.frames
+        if discard_TRLs:     # frames surviving at the reduced rate
+            tf = (tf - 1) // 2 ** discard_TRLs + 1
+        ch, cw = -(-th // 2), -(-tw // 2)       # ceil: odd true dims
+        vid = Video(vid.y[:tf, :th, :tw],
+                    vid.u[:tf, :ch, :cw], vid.v[:tf, :ch, :cw])
+    return vid
 
 
 def _synthesize_partial(mstream: transform.MCTFStream, cfg: CodecConfig,

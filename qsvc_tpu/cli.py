@@ -41,6 +41,19 @@ def _add_common(p: argparse.ArgumentParser) -> None:
                         "(spec-style MQ, maximum compaction)")
 
 
+def _read_streams(path: str):
+    """Read a .qsvc file: either one whole-sequence stream or the
+    streaming per-GOP container.  Returns a list of VideoStream."""
+    from .codec import codestream
+    from .codec.codestream import VideoStream
+    with open(path, "rb") as f:
+        data = f.read()
+    if codestream.is_gop_container(data):
+        return [VideoStream.from_bytes(b)
+                for b in codestream.unpack_gop_streams(data)]
+    return [VideoStream.from_bytes(data)]
+
+
 def _cfg(args) -> CodecConfig:
     return CodecConfig(
         pixels_in_x=args.pixels_in_x, pixels_in_y=args.pixels_in_y,
@@ -66,7 +79,20 @@ def main(argv=None) -> int:
     pc.add_argument("--lossless", action="store_true",
                     help="reversible 5/3 path, no truncation")
     pc.add_argument("--pictures", type=int, default=0,
-                    help="frames to read (default: GOPs*gop_size+1)")
+                    help="frames to read (default: GOPs*gop_size+1; any "
+                         "count works — the tail GOP is padded and the "
+                         "true count is recorded in the stream)")
+    pc.add_argument("--window", type=int, default=2,
+                    help="GOPs in flight in the streaming pipeline")
+    pc.add_argument("--resume", default="",
+                    help="checkpoint/resume directory: already-encoded "
+                         "GOPs (same frames + params) are reused, so a "
+                         "killed encode restarts where it stopped "
+                         "(motion_estimate.cpp:659-682 resume semantics)")
+    pc.add_argument("--whole_sequence", action="store_true",
+                    help="single open-GOP stream via one device dispatch "
+                         "(the non-streaming research path; default is "
+                         "the bounded-memory per-GOP streaming container)")
 
     pe = sub.add_parser("expand", help="decode a .qsvc stream")
     pe.add_argument("--input", required=True)
@@ -126,7 +152,9 @@ def main(argv=None) -> int:
 
     pj = sub.add_parser("export_j2k",
                         help="export one frame's Y/U/V planes as standard "
-                             "lossless JPEG 2000 code-streams (any "
+                             "JPEG 2000 code-streams — lossless 5/3 by "
+                             "default, lossy 9/7 multi-layer with "
+                             "--irreversible/--layer_slopes (any "
                              "conformant decoder reads them; the "
                              "reference's per-component .j2c layout)")
     pj.add_argument("--input", required=True, help="raw .yuv (I420) file")
@@ -137,11 +165,19 @@ def main(argv=None) -> int:
     pj.add_argument("--frame", type=int, default=0)
     pj.add_argument("--SRLs", type=int, default=5)
     pj.add_argument("--codeblock_size", type=int, default=64)
+    pj.add_argument("--irreversible", action="store_true",
+                    help="lossy 9/7 + QCD quantization (Creversible=no)")
+    pj.add_argument("--base_delta", type=float, default=1.0 / 32,
+                    help="base quantization step for --irreversible")
+    pj.add_argument("--layer_slopes", default="",
+                    help="comma-separated quality-layer slopes "
+                         "(Kakadu-style units, e.g. 46000,45000,44000)")
 
     args = ap.parse_args(argv)
 
     if args.cmd == "compress":
-        from .api import compress
+        from . import api
+        from .codec import codestream
         if args.trace:
             from .utils import trace as _tr
             _tr.set_run_log(_tr.RunLog(path=args.trace))
@@ -149,37 +185,81 @@ def main(argv=None) -> int:
         n = args.pictures or cfg.pictures
         vid = yuv.read_yuv(args.input, cfg.pixels_in_x, cfg.pixels_in_y, n)
         if vid.frames < n:
-            print(f"warning: only {vid.frames} frames available", file=sys.stderr)
-        if cfg.TRLs > 1:
-            want = ((vid.frames - 1) // cfg.gop_size) * cfg.gop_size + 1
-            if want < vid.frames:
-                vid = vid[:want]
-                print(f"note: trimmed to {want} frames (k*gop_size+1)",
-                      file=sys.stderr)
-            cfg = cfg.replace(GOPs=(vid.frames - 1) // cfg.gop_size)
+            print(f"warning: only {vid.frames} frames available",
+                  file=sys.stderr)
         if args.lossless:
             cfg = cfg.replace(quantization_texture=0)
         t0 = time.time()
-        vs = compress(vid, cfg, reversible=args.lossless)
-        data = vs.to_bytes()
+        if args.whole_sequence:
+            data = api.compress(vid, cfg,
+                                reversible=args.lossless).to_bytes()
+            with open(args.output, "wb") as f:
+                f.write(data)
+            total = len(data)
+        else:
+            # streaming path: bounded memory (window GOPs in flight),
+            # append-only output, optional checkpoint/resume store
+            S = cfg.gop_size
+            G = (max(1, -(-(vid.frames - 1) // S)) if cfg.TRLs > 1
+                 else cfg.GOPs)
+
+            def report(g, nbytes, cached):
+                el = time.time() - t0
+                print(f"GOP {g + 1}/{G}: {nbytes} bytes"
+                      f"{' (cached)' if cached else ''}  [{el:.1f}s]",
+                      file=sys.stderr, flush=True)
+
+            if args.resume:
+                from .utils.artifacts import (ArtifactStore,
+                                              compress_gops_resumable)
+                blobs = compress_gops_resumable(
+                    vid, cfg, ArtifactStore(args.resume),
+                    reversible=args.lossless, window=args.window,
+                    progress=report)
+                with open(args.output, "wb") as f:
+                    f.write(codestream.pack_gop_streams(blobs))
+                total = 4 + sum(len(b) + 2 for b in blobs)
+            else:
+                total = 0
+                with open(args.output, "wb") as f:
+                    f.write(codestream.GOP_MAGIC)
+
+                    def write_one(i, vs):
+                        nonlocal total
+                        b = vs.to_bytes()
+                        buf = bytearray()
+                        codestream._wvarint(buf, len(b))
+                        f.write(bytes(buf) + b)
+                        f.flush()
+                        total += len(b)
+                        report(i, len(b), False)
+
+                    gop_cfg = cfg.replace(GOPs=1)
+                    chunks = (vid[g * S:(g + 1) * S + 1]
+                              for g in range(G))
+                    api.compress_chunks(chunks, gop_cfg,
+                                        reversible=args.lossless,
+                                        window=args.window,
+                                        progress=write_one)
         dt = time.time() - t0
-        with open(args.output, "wb") as f:
-            f.write(data)
         raw = vid.y.size * 3 // 2
-        print(f"{vid.frames} frames -> {len(data)} bytes "
-              f"({len(data)*8/raw:.3f} bpp) in {dt:.2f}s "
+        print(f"{vid.frames} frames -> {total} bytes "
+              f"({total*8/raw:.3f} bpp) in {dt:.2f}s "
               f"({vid.frames/dt:.2f} fps)")
         return 0
 
     if args.cmd == "expand":
-        from .api import expand
-        from .codec.codestream import VideoStream
+        from .api import expand, expand_gops
         from .codec.frame_codec import slope_to_threshold
-        with open(args.input, "rb") as f:
-            vs = VideoStream.from_bytes(f.read())
+        streams = _read_streams(args.input)
         thr = slope_to_threshold(args.quantization) if args.quantization else 0.0
         t0 = time.time()
-        vid = expand(vs, threshold=thr, discard_TRLs=args.discard_TRLs)
+        if len(streams) > 1:
+            vid = expand_gops(streams, threshold=thr,
+                              discard_TRLs=args.discard_TRLs)
+        else:
+            vid = expand(streams[0], threshold=thr,
+                         discard_TRLs=args.discard_TRLs)
         dt = time.time() - t0
         yuv.write_yuv(args.output, vid)
         print(f"{vid.frames} frames ({vid.width}x{vid.height}) in {dt:.2f}s "
@@ -188,14 +268,18 @@ def main(argv=None) -> int:
 
     if args.cmd == "transcode":
         from .scal import extract
-        from .codec.codestream import VideoStream
-        with open(args.input, "rb") as f:
-            vs = VideoStream.from_bytes(f.read())
-        out = extract.transcode(
+        from .codec import codestream
+        streams = _read_streams(args.input)
+        outs = [extract.transcode(
             vs, quantization=args.quantization, clayers=args.clayers,
             discard_TRLs=args.discard_TRLs, discard_SRLs=args.discard_SRLs,
             algorithm=args.algorithm, BRC=args.BRC, fps=args.FPS)
-        data = out.to_bytes()
+            for vs in streams]
+        if len(outs) > 1:
+            data = codestream.pack_gop_streams([o.to_bytes()
+                                                for o in outs])
+        else:
+            data = outs[0].to_bytes()
         with open(args.output, "wb") as f:
             f.write(data)
         print(f"extracted {len(data)} bytes")
@@ -203,10 +287,16 @@ def main(argv=None) -> int:
 
     if args.cmd == "info":
         from .scal.info import format_table, stream_info
-        from .codec.codestream import VideoStream
-        with open(args.input, "rb") as f:
-            vs = VideoStream.from_bytes(f.read())
-        print(format_table(stream_info(vs, args.FPS)))
+        streams = _read_streams(args.input)
+        total = 0
+        for g, vs in enumerate(streams):
+            if len(streams) > 1:
+                print(f"--- GOP {g} ---")
+            si = stream_info(vs, args.FPS)
+            total += si.total_bytes
+            print(format_table(si))
+        if len(streams) > 1:
+            print(f"total {total} bytes")
         return 0
 
     if args.cmd == "psnr":
@@ -218,19 +308,26 @@ def main(argv=None) -> int:
         return 0
 
     if args.cmd in ("rd", "search_slope"):
-        from .codec.codestream import VideoStream
         from .scal import rd as rdmod
-        with open(args.input, "rb") as f:
-            vs = VideoStream.from_bytes(f.read())
-        cfg = vs.cfg
-        orig = yuv.read_yuv(args.original, cfg.pixels_in_x, cfg.pixels_in_y,
-                            cfg.pictures)
+        streams = _read_streams(args.input)
+        cfg = streams[0].cfg
+        tw, th = streams[0].true_dims or (cfg.pixels_in_x, cfg.pixels_in_y)
+        nframes = sum((s.true_frames or s.cfg.pictures) - 1
+                      for s in streams) + 1
+        orig = yuv.read_yuv(args.original, tw, th, nframes)
         if args.cmd == "rd":
             qs = [float(q) for q in args.quantizations.split(",")]
-            pts = rdmod.rd_curve(vs, orig, qs, fps=args.FPS)
+            if len(streams) > 1:
+                pts = rdmod.rd_curve_gops(streams, orig, qs, fps=args.FPS)
+            else:
+                pts = rdmod.rd_curve(streams[0], orig, qs, fps=args.FPS)
             print(rdmod.format_curve(pts))
         else:
-            q, pt = rdmod.search_slope_for_distortion(vs, orig,
+            if len(streams) > 1:
+                print("search_slope needs a whole-sequence stream "
+                      "(compress --whole_sequence)", file=sys.stderr)
+                return 1
+            q, pt = rdmod.search_slope_for_distortion(streams[0], orig,
                                                       args.distortion)
             print(f"slope {q:.1f}: {pt.kbps:.1f} kbps, RMSE {pt.rmse_y:.3f},"
                   f" PSNR {pt.psnr_y:.2f} dB")
@@ -241,10 +338,15 @@ def main(argv=None) -> int:
         vid = yuv.read_yuv(args.input, args.pixels_in_x, args.pixels_in_y,
                            args.frame + 1)
         total = 0
+        slopes = ([float(s) for s in args.layer_slopes.split(",")]
+                  if args.layer_slopes else None)
         for comp, plane in (("Y", vid.y), ("U", vid.u), ("V", vid.v)):
             data = j2k.encode_j2c(np.asarray(plane[args.frame], np.uint8),
                                   levels=args.SRLs - 1,
-                                  cb=args.codeblock_size)
+                                  cb=args.codeblock_size,
+                                  reversible=not args.irreversible,
+                                  base_delta=args.base_delta,
+                                  layer_slopes=slopes)
             path = f"{args.output}_{comp}.j2c"
             with open(path, "wb") as f:
                 f.write(data)

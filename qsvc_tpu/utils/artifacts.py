@@ -69,26 +69,43 @@ class ArtifactStore:
 
 def compress_gops_resumable(video: Video, cfg: CodecConfig,
                             store: ArtifactStore,
-                            reversible: bool = False) -> List[bytes]:
+                            reversible: bool = False,
+                            window: int = 2,
+                            progress=None) -> List[bytes]:
     """Per-GOP encode with checkpoint/resume: GOPs whose (frames, params)
-    hash is already in the store are NOT re-encoded.  Returns the ordered
-    per-GOP byte streams (decode with
-    :func:`qsvc_tpu.api.expand_gops`)."""
+    hash is already in the store are NOT re-encoded; the missing ones run
+    through the pipelined ``compress_chunks`` path (``window`` GOPs in
+    flight) and are checkpointed as they finish.  Arbitrary frame counts
+    are allowed (short tail chunk, see api.compress_gops).  Returns the
+    ordered per-GOP byte streams (decode with
+    :func:`qsvc_tpu.api.expand_gops`).  ``progress(gop_index, nbytes,
+    cached)`` is called per finished GOP."""
     from .. import api
 
-    cfg.validate()
     S = cfg.gop_size
     gop_cfg = cfg.replace(GOPs=1)
-    out: List[bytes] = []
-    for g in range(cfg.GOPs):
-        chunk = Video(video.y[g * S:(g + 1) * S + 1],
-                      video.u[g * S:(g + 1) * S + 1],
-                      video.v[g * S:(g + 1) * S + 1])
-        key = gop_key(chunk, gop_cfg, reversible)
-        data = store.get(key)
-        if data is None:
-            data = api.compress(chunk, gop_cfg,
-                                reversible=reversible).to_bytes()
-            store.put(key, data)
-        out.append(data)
-    return out
+    G = (max(1, -(-(video.frames - 1) // S)) if cfg.TRLs > 1
+         else cfg.GOPs)
+    chunks = [Video(video.y[g * S:(g + 1) * S + 1],
+                    video.u[g * S:(g + 1) * S + 1],
+                    video.v[g * S:(g + 1) * S + 1]) for g in range(G)]
+    keys = [gop_key(c, gop_cfg, reversible) for c in chunks]
+    out: List[Optional[bytes]] = [store.get(k) for k in keys]
+    if progress is not None:
+        for g, d in enumerate(out):
+            if d is not None:
+                progress(g, len(d), True)
+    missing = [g for g, d in enumerate(out) if d is None]
+
+    def on_finish(i: int, vs) -> None:
+        g = missing[i]
+        data = vs.to_bytes()
+        store.put(keys[g], data)
+        out[g] = data
+        if progress is not None:
+            progress(g, len(data), False)
+
+    api.compress_chunks([chunks[g] for g in missing], gop_cfg,
+                        reversible=reversible, window=window,
+                        progress=on_finish)
+    return out  # type: ignore[return-value]

@@ -10,6 +10,8 @@ from qsvc_tpu.config import CodecConfig
 from qsvc_tpu.io import synthetic_video, psnr
 from qsvc_tpu.scal import extract, info
 
+pytestmark = pytest.mark.slow  # compile-heavy (see pyproject markers)
+
 
 @pytest.fixture(scope="module")
 def stream4k():

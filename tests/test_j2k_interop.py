@@ -90,3 +90,96 @@ def test_lossless_codec_subband_frame():
                                jnp.asarray(vid.v), cfg)
     high = np.asarray(st.levels[0].high_y[0]).astype(np.uint8)
     _roundtrip(high, 2, 32)
+
+
+# ---------------------------------------------------------------- lossy
+
+def _psnr(a, b):
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    return 10 * np.log10(255.0 ** 2 / max(mse, 1e-12))
+
+
+@pytest.fixture(scope="module")
+def smooth_noisy():
+    rng_ = np.random.default_rng(0)
+    yy, xx = np.mgrid[0:96, 0:128]
+    return np.clip(128 + 60 * np.sin(xx / 9.0) + 50 * np.cos(yy / 7.0)
+                   + rng_.normal(0, 3, (96, 128)), 0, 255).astype(np.uint8)
+
+
+def test_lossy_97_psnr_tracks_delta(smooth_noisy):
+    """OpenJPEG must decode our irreversible 9/7 + QCD streams; finer
+    base_delta -> monotonically better PSNR and bigger streams (the
+    Kakadu Creversible=no role, texture_compress_fb_j2k.py:186)."""
+    img = smooth_noisy
+    prev_psnr, prev_len = 0.0, 0
+    for bd in (4.0, 1.0, 0.25):
+        data = j2k.encode_j2c(img, levels=3, cb=32, reversible=False,
+                              base_delta=bd)
+        dec = _decode(data)
+        p = _psnr(img, dec)
+        assert p > prev_psnr and len(data) > prev_len
+        prev_psnr, prev_len = p, len(data)
+    assert prev_psnr > 55        # delta=0.25 must be visually lossless
+
+
+def test_lossy_97_matches_internal_reconstruction(smooth_noisy):
+    """The external decode must agree with OUR dequantize + inverse 9/7
+    (midpoint reconstruction) — pins the QCD step semantics, not just
+    'looks fine'."""
+    img = smooth_noisy
+    bd = 0.5
+    data = j2k.encode_j2c(img, levels=3, cb=32, reversible=False,
+                          base_delta=bd)
+    dec = _decode(data).astype(np.float64)
+
+    levels = 3
+    coefs = j2k.fwd_dwt97(img.astype(np.float64) - 128.0, levels)
+    recon = np.zeros_like(coefs)
+    for r, bands in enumerate(j2k._band_rects(*img.shape, levels)):
+        for (band, y0, x0, bh, bw_) in bands:
+            if bh <= 0 or bw_ <= 0:
+                continue
+            _eps, _mu, rep = j2k._qcd_step(
+                bd, 8 + j2k._BAND_GAIN_LOG2[band])
+            c = coefs[y0:y0 + bh, x0:x0 + bw_]
+            q = np.sign(c) * np.floor(np.abs(c) / rep)
+            recon[y0:y0 + bh, x0:x0 + bw_] = (
+                np.sign(q) * (np.abs(q) + 0.5) * rep * (q != 0))
+    expect = np.clip(np.round(j2k.inv_dwt97(recon, levels) + 128.0),
+                     0, 255)
+    # r=0.5 midpoint reconstruction is what OpenJPEG applies; allow 1 gray
+    # level of slack for its float32 arithmetic
+    assert np.abs(dec - expect).max() <= 1.0
+    assert _psnr(expect.astype(np.uint8), dec.astype(np.uint8)) > 50
+
+
+def test_lossy_layered_prefix_semantics(smooth_noisy):
+    """2-layer stream: OpenJPEG decodes it; its layer-0 content equals a
+    single-layer encode truncated at the coarse slope (so a decoder that
+    stops after layer 0 sees exactly that quality point), and the full
+    2-layer decode beats the coarse point."""
+    img = smooth_noisy
+    coarse, fine = 46500.0, 44000.0
+    d2 = j2k.encode_j2c(img, levels=3, cb=32, reversible=False,
+                        base_delta=0.125, layer_slopes=[coarse, fine])
+    d1 = j2k.encode_j2c(img, levels=3, cb=32, reversible=False,
+                        base_delta=0.125, layer_slopes=[coarse])
+    p2 = _psnr(img, _decode(d2))
+    p1 = _psnr(img, _decode(d1))
+    assert len(d1) < len(d2)
+    assert p1 + 1.0 < p2, (p1, p2)
+    # the 2-layer stream must reach the same quality as an unlayered
+    # encode truncated at the same final slope
+    dref = j2k.encode_j2c(img, levels=3, cb=32, reversible=False,
+                          base_delta=0.125, layer_slopes=[fine])
+    assert abs(_psnr(img, _decode(dref)) - p2) < 0.3
+
+
+def test_lossless_layered_still_bitexact(smooth_noisy):
+    """Layering must not break reversibility: a 2-layer lossless stream
+    (second layer keeps everything) still round-trips bit-exactly."""
+    img = smooth_noisy
+    data = j2k.encode_j2c(img, levels=3, cb=32,
+                          layer_slopes=[45500.0, 0.0])
+    np.testing.assert_array_equal(_decode(data), img)

@@ -13,6 +13,8 @@ from qsvc_tpu.mctf import transform
 from qsvc_tpu.parallel import mesh as pmesh
 from qsvc_tpu.parallel import transform as ptransform
 
+pytestmark = pytest.mark.slow  # compile-heavy (see pyproject markers)
+
 NDEV = len(jax.devices())
 
 

@@ -54,15 +54,16 @@ def test_resume_skips_cached_gops(tmp_path, small, monkeypatch):
     streams1 = compress_gops_resumable(vid, cfg, store, reversible=True)
     assert len(streams1) == 3
 
-    # second run must not call the encoder at all
+    # second run must not call the encoder at all (the pipelined path
+    # enters via compress_dispatch)
     calls = []
-    real = api.compress
+    real = api.compress_dispatch
 
     def counting(*a, **kw):
         calls.append(1)
         return real(*a, **kw)
 
-    monkeypatch.setattr(api, "compress", counting)
+    monkeypatch.setattr(api, "compress_dispatch", counting)
     streams2 = compress_gops_resumable(vid, cfg, store, reversible=True)
     assert calls == []
     assert streams2 == streams1
