@@ -34,6 +34,11 @@ def main() -> int:
     import jax
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    repo = __file__.rsplit("/", 2)[0]
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(repo, "tests", ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     from qsvc_tpu.parallel import distributed as pdist
 
     ndev = len(jax.devices())
