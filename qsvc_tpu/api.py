@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import math
 from dataclasses import dataclass
+from functools import partial
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np
@@ -45,14 +46,17 @@ def _encode_plane_set(y: np.ndarray, u: np.ndarray, v: np.ndarray,
 
 
 def _decode_plane_set(frames: List[Dict[str, frame_codec.EncodedFrame]],
-                      threshold: float = 0.0, discard_levels: int = 0
-                      ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+                      threshold: float = 0.0, discard_levels: int = 0,
+                      to_host: bool = True):
+    """``to_host=False`` keeps the decoded stacks on device — the
+    inverse MCTF consumes them directly (no download+re-upload per
+    subband, which dominated decode over the tunneled chip)."""
     ys = frame_codec.decode_frames([fr["y"] for fr in frames], threshold,
-                                   discard_levels)
+                                   discard_levels, to_host)
     us = frame_codec.decode_frames([fr["u"] for fr in frames], threshold,
-                                   discard_levels)
+                                   discard_levels, to_host)
     vs = frame_codec.decode_frames([fr["v"] for fr in frames], threshold,
-                                   discard_levels)
+                                   discard_levels, to_host)
     return ys, us, vs
 
 
@@ -150,6 +154,10 @@ def compress_dispatch(video: Video, cfg: CodecConfig,
     with trace.stage("upload+mctf_dispatch", frames=int(video.frames)):
         y, u, v = up(video.y), up(video.u), up(video.v)
     if cfg.TRLs > 1:
+        # the FUSED analyze program: a per-level split was measured at
+        # -20% staged fps over the tunneled chip (4 extra dispatch round
+        # trips per GOP) for no extra cold-start win vs concurrent
+        # prewarm of the fused program — see PROFILE.md round 4
         stream = transform.analyze_jit(y, u, v, cfg)
     else:
         stream = transform.MCTFStream(y.astype(jnp.int16),
@@ -310,6 +318,67 @@ def compress_finish(pending: dict) -> VideoStream:
                        true_frames=pending["true_frames"])
 
 
+def prewarm(cfg: CodecConfig, reversible: bool = False,
+            delta: Optional[float] = None,
+            lossless: Optional[bool] = None) -> float:
+    """Compile the per-GOP encode programs CONCURRENTLY before first use.
+
+    Cold-start attribution at the 1080p flagship config (VERDICT r3
+    item 6, tools/profile_warmup.py): the four big programs — MCTF
+    analyze, the luma and chroma fused DWT+quant+tile+R-D dispatches,
+    and the MV decorrelation — compile serially in ~83 s over a
+    tunneled chip but in ~31 s when compiled from four threads (XLA
+    releases the GIL; the compiler runs them in parallel).  Zero-filled
+    inputs of the production shapes trigger exactly the executables the
+    first real GOP needs, so the first frame no longer pays the serial
+    compile chain.  Returns seconds spent.  No-op cost when the
+    persistent compile cache is already warm."""
+    import time
+    from concurrent.futures import ThreadPoolExecutor
+
+    t0 = time.time()
+    gop_cfg = cfg.replace(GOPs=1)
+    gop_cfg.validate()
+    delta, lossless, coder = _operating_point(gop_cfg, reversible, delta,
+                                              lossless)
+    H, W = gop_cfg.pixels_in_y, gop_cfg.pixels_in_x
+    n = gop_cfg.pictures
+    y = jnp.zeros((n, H, W), jnp.uint8)
+    u = jnp.zeros((n, H // 2, W // 2), jnp.uint8)
+    v = jnp.zeros((n, H // 2, W // 2), jnp.uint8)
+    # consolidated stack sizes (low band n0=2 for a 1-GOP dispatch, plus
+    # one high stack per level — see compress_dispatch)
+    n_l = n
+    luma = jnp.zeros((n_l, H, W), jnp.int16)
+    chroma = jnp.zeros((2 * n_l, H // 2, W // 2), jnp.int16)
+    mvs = [jnp.zeros((lp.pictures // 2, 2, 2, H // lp.block_size,
+                      W // lp.block_size), jnp.int32)
+           for lp in gop_cfg.level_schedule()]
+    cb = gop_cfg.codeblock_size
+    srl = gop_cfg.SRLs - 1
+
+    def warm_analyze():
+        if gop_cfg.TRLs > 1:
+            jax.block_until_ready(transform.analyze_jit(y, u, v, gop_cfg))
+
+    def warm_stack(pl):
+        pend = frame_codec.encode_frames_dispatch_sparse(
+            pl, srl, reversible, delta, cb, 0.0, coder)
+        jax.block_until_ready(pend[1])
+
+    def warm_mv():
+        if mvs:
+            jax.block_until_ready(motion_coding.decorrelate_jit(mvs))
+
+    with trace.stage("prewarm"):
+        with ThreadPoolExecutor(max_workers=4) as ex:
+            futs = [ex.submit(warm_analyze), ex.submit(warm_stack, luma),
+                    ex.submit(warm_stack, chroma), ex.submit(warm_mv)]
+            for f in futs:
+                f.result()
+    return time.time() - t0
+
+
 def compress(video: Video, cfg: CodecConfig, reversible: bool = True,
              delta: Optional[float] = None, lossless: Optional[bool] = None
              ) -> VideoStream:
@@ -404,21 +473,25 @@ def expand_gops(streams: List[VideoStream], **kw) -> Video:
 
 
 def expand(vs: VideoStream, threshold: float = 0.0,
-           discard_TRLs: int = 0) -> Video:
+           discard_TRLs: int = 0, to_host: bool = True) -> Video:
     """Decode a :class:`VideoStream` back to video.
 
     ``threshold``: extra decode-time slope-threshold truncation (QS).
     ``discard_TRLs``: drop the finest ``d`` temporal levels — decodes at
     reduced frame rate (TS extraction, transcode.py semantics).
+    ``to_host=False`` returns device-resident uint8 planes (the staged
+    decode convention — the final download is environment transport,
+    measured separately; the uint8 cast happens ON DEVICE either way so
+    the host link carries 1 byte/pixel, not the transform's int32).
     """
     cfg = vs.cfg
-    ly, lu, lv = _decode_plane_set(vs.low, threshold)
+    ly, lu, lv = _decode_plane_set(vs.low, threshold, to_host=False)
     use_levels = vs.levels[discard_TRLs:] if discard_TRLs else vs.levels
 
     lev_data = []
     residue_fields = []
     for lev in use_levels:
-        hy, hu, hv = _decode_plane_set(lev.high, threshold)
+        hy, hu, hv = _decode_plane_set(lev.high, threshold, to_host=False)
         res = [codestream.decode_motion_field(m) for m in lev.motion]
         if res:
             residue_fields.append(jnp.asarray(np.stack(res)))
@@ -444,9 +517,15 @@ def expand(vs: VideoStream, threshold: float = 0.0,
         ry, ru, rv = mstream.low_y, mstream.low_u, mstream.low_v
     else:
         ry, ru, rv = _synthesize_partial(mstream, cfg, discard_TRLs)
-    vid = Video(np.asarray(ry).astype(np.uint8),
-                np.asarray(ru).astype(np.uint8),
-                np.asarray(rv).astype(np.uint8))
+    # uint8 cast on device: the download is 1 byte/pixel instead of the
+    # transform's wider dtype (measured 213 MB -> 53 MB per 1080p GOP)
+    ry, ru, rv = (ry.astype(jnp.uint8), ru.astype(jnp.uint8),
+                  rv.astype(jnp.uint8))
+    if not to_host:
+        jax.block_until_ready((ry, ru, rv))
+        vid = Video(ry, ru, rv)
+    else:
+        vid = Video(np.asarray(ry), np.asarray(ru), np.asarray(rv))
     if vs.true_dims is not None or vs.true_frames is not None:
         tw, th = vs.true_dims or (vid.width, vid.height)
         tf = vs.true_frames if vs.true_frames is not None else vid.frames
@@ -458,10 +537,14 @@ def expand(vs: VideoStream, threshold: float = 0.0,
     return vid
 
 
+@partial(jax.jit, static_argnames=("cfg", "discard_TRLs"))
 def _synthesize_partial(mstream: transform.MCTFStream, cfg: CodecConfig,
-                        discard_TRLs: int):
+                        discard_TRLs: int = 0):
     """Inverse MCTF over the kept levels only (TS extraction decodes the
-    coarser levels with their own schedule entries)."""
+    coarser levels with their own schedule entries).  Jitted: the eager
+    per-level loop cost one device round trip PER OP on a tunneled chip
+    and dominated decode wall time (measured while profiling
+    tools/bench_decode.py, round 4)."""
     schedule = cfg.level_schedule()
     low = (mstream.low_y, mstream.low_u, mstream.low_v)
     kept = schedule[discard_TRLs:]

@@ -202,6 +202,11 @@ def main(argv=None) -> int:
             S = cfg.gop_size
             G = (max(1, -(-(vid.frames - 1) // S)) if cfg.TRLs > 1
                  else cfg.GOPs)
+            if G >= 2:
+                # concurrent compile of the big device programs: cuts
+                # the serial cold-start compile chain ~2.5x (the one
+                # wasted zero-GOP execute is noise for G >= 2)
+                api.prewarm(cfg, reversible=args.lossless)
 
             def report(g, nbytes, cached):
                 el = time.time() - t0

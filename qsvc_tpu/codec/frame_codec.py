@@ -528,10 +528,47 @@ def encode_frames(planes, levels: int, reversible: bool = True,
     return encode_frames_finish_sparse(selected, H, W, min_threshold, coder)
 
 
+@partial(jax.jit, static_argnames=("N", "H", "W"))
+def _scatter_tiles(tiles: jnp.ndarray, pos: jnp.ndarray,
+                   N: int, H: int, W: int) -> jnp.ndarray:
+    """Scatter decoded (K, cb, cb) code-block tiles into a zero
+    (N, H, W) packed plane stack on device.  Out-of-bounds elements
+    (padding rows of edge tiles past the plane, and the dummy rows used
+    to bucket K) are dropped; in-bounds zero padding lands in
+    neighbouring bands as ``+= 0``."""
+    K, cb, _ = tiles.shape
+    ar = jnp.arange(cb)
+    iN = jnp.broadcast_to(pos[:, 0, None, None], (K, cb, cb))
+    iY = pos[:, 1, None, None] + ar[None, :, None]
+    iX = pos[:, 2, None, None] + ar[None, None, :]
+    packed = jnp.zeros((N, H, W), tiles.dtype)
+    return packed.at[iN, iY, iX].add(tiles, mode="drop")
+
+
+def _bucket(k: int) -> int:
+    """Round K up so the scatter program compiles for few distinct
+    shapes (powers of two above a floor)."""
+    n = 256
+    while n < k:
+        n <<= 1
+    return n
+
+
 def decode_frames(efs: List[EncodedFrame], threshold: float = 0.0,
-                  discard_levels: int = 0) -> np.ndarray:
-    """Decode a stack of same-geometry frames with ONE native strided batch
-    and ONE fused device dequantize+inverse-DWT call; returns (N, H', W')."""
+                  discard_levels: int = 0, to_host: bool = True):
+    """Decode a stack of same-geometry frames with ONE native batch
+    entropy decode and ONE fused device dequantize+inverse-DWT call;
+    returns (N, H', W').
+
+    The coefficients cross the host->device link SPARSELY: only the
+    coded code-block tiles are uploaded and scattered into the packed
+    plane stack on device (at lossy operating points the packed planes
+    are ~99% zeros; uploading them densely made decode tunnel-bound —
+    140 MB/GOP at 1080p vs a few MB of surviving tiles).
+
+    ``to_host=False`` returns the decoded stack as a DEVICE array — the
+    inverse MCTF consumes it directly, avoiding a download+re-upload
+    round trip per subband (api.expand uses this)."""
     if not efs:
         return np.zeros((0, 0, 0), np.int32)
     ef0 = efs[0]
@@ -552,18 +589,47 @@ def decode_frames(efs: List[EncodedFrame], threshold: float = 0.0,
                          blk.pass_ends))
             b = by_key[blk.band_key]
             positions.append((n, b.y0 + blk.y0, b.x0 + blk.x0))
-    packed = np.zeros((len(efs), H, W), np.int32)
-    fast.decode_packed_planes(todo, positions, packed, coder=ef0.coder)
+
+    cb = max((max(b[3]) for b in todo), default=1)
+    coded_area = sum(b[3][0] * b[3][1] for b in todo)
+    use_sparse = coded_area * 2 < len(efs) * H * W
+
     d = jnp.float32(ef0.delta)
-    if discard_levels:
-        sizes_y = dwt2d._level_sizes(H, discard_levels)
-        sizes_x = dwt2d._level_sizes(W, discard_levels)
-        sub = packed[:, :sizes_y[-1], :sizes_x[-1]]
-        return np.asarray(_dequant_idwt(_to_device_small(sub),
-                                        levels - discard_levels,
-                                        ef0.reversible, d))
-    return np.asarray(_dequant_idwt(_to_device_small(packed), levels,
-                                    ef0.reversible, d))
+    sizes_y = dwt2d._level_sizes(H, discard_levels or 0)
+    sizes_x = dwt2d._level_sizes(W, discard_levels or 0)
+    Hd = sizes_y[-1] if discard_levels else H
+    Wd = sizes_x[-1] if discard_levels else W
+
+    if use_sparse:
+        if ef0.coder == "bp" and fast.available():
+            tiles = fast.bp_decode_tiles([(b[0], b[1], b[2], b[3])
+                                          for b in todo])
+        else:
+            tiles = fast.decode_codeblocks_batch(todo)
+        K = _bucket(max(len(tiles), 1))
+        vmax = max((int(np.abs(t).max()) for t in tiles if t.size),
+                   default=0)
+        dt = np.int16 if vmax < 32768 else np.int32
+        tile_arr = np.zeros((K, cb, cb), dt)
+        pos = np.full((K, 3), (0, Hd, Wd), np.int32)   # dummies: all OOB
+        for i, ((n, y0, x0), b, t) in enumerate(zip(positions, todo,
+                                                    tiles)):
+            th, tw = b[3]
+            tile_arr[i, :th, :tw] = t
+            pos[i] = (n, y0, x0)
+        packed_dev = _scatter_tiles(jnp.asarray(tile_arr),
+                                    jnp.asarray(pos), len(efs), Hd, Wd)
+    else:
+        packed = np.zeros((len(efs), H, W), np.int32)
+        fast.decode_packed_planes(todo, positions, packed,
+                                  coder=ef0.coder)
+        if discard_levels:
+            packed = packed[:, :Hd, :Wd]
+        packed_dev = _to_device_small(np.ascontiguousarray(packed))
+
+    out = _dequant_idwt(packed_dev, levels - (discard_levels or 0),
+                        ef0.reversible, d)
+    return np.asarray(out) if to_host else out
 
 
 def _to_device_small(packed: np.ndarray) -> jnp.ndarray:

@@ -175,3 +175,7 @@ def synthesize(stream: MCTFStream, cfg: CodecConfig
 
 analyze_jit = jax.jit(analyze, static_argnames=("cfg",))
 synthesize_jit = jax.jit(synthesize, static_argnames=("cfg",))
+# NOTE: a per-level jit split of analyze (to compile levels concurrently
+# at prewarm) was measured at -20% staged fps over a tunneled chip — 4
+# extra dispatch round trips per GOP — for no cold-start win over
+# concurrently prewarming this fused program; see PROFILE.md round 4.
