@@ -51,6 +51,21 @@ def _decode_plane_set(frames: List[Dict[str, frame_codec.EncodedFrame]],
     """``to_host=False`` keeps the decoded stacks on device — the
     inverse MCTF consumes them directly (no download+re-upload per
     subband, which dominated decode over the tunneled chip)."""
+    from .codec import backends as _bk
+    if frames and isinstance(frames[0]["y"], _bk.BackendFrame):
+        if discard_levels:
+            raise ValueError("SS extraction requires the internal "
+                             "texture codec (backend frames carry no "
+                             "resolution levels)")
+
+        def dec(comp):
+            # int32: the inverse MCTF subtracts the +128 bias — uint8
+            # arithmetic would wrap
+            return np.stack([
+                _bk.get(fr[comp].backend).decode(
+                    fr[comp].payload, fr[comp].H, fr[comp].W)
+                for fr in frames]).astype(np.int32)
+        return dec("y"), dec("u"), dec("v")
     ys = frame_codec.decode_frames([fr["y"] for fr in frames], threshold,
                                    discard_levels, to_host)
     us = frame_codec.decode_frames([fr["u"] for fr in frames], threshold,
@@ -379,6 +394,62 @@ def prewarm(cfg: CodecConfig, reversible: bool = False,
     return time.time() - t0
 
 
+def _compress_with_backend(video: Video, cfg: CodecConfig) -> VideoStream:
+    """Encode with an alternative texture backend (codec/backends.py) —
+    the reference's codec-registry capability (mcj2k/mcmj2k/mccp
+    profiles, texture_compress.py:39): device MCTF as usual, then each
+    subband frame plane is coded by the selected per-plane codec instead
+    of the internal fused DWT+EBCOT path.  Subband planes are already
+    uint8-range (high bands stored +128-biased, decorrelate.cpp
+    convention), so every backend sees plain grayscale planes."""
+    from .codec import backends
+    be = backends.get(cfg.texture_backend)
+    video, cfg, true_dims, true_frames = _pad_to_grid(video, cfg)
+    cfg.validate()
+
+    def up(x):
+        if isinstance(x, jax.Array):
+            return x
+        return jnp.asarray(np.asarray(x, np.uint8))
+
+    y, u, v = up(video.y), up(video.u), up(video.v)
+    if cfg.TRLs > 1:
+        stream = transform.analyze_jit(y, u, v, cfg)
+    else:
+        stream = transform.MCTFStream(y.astype(jnp.int16),
+                                      u.astype(jnp.int16),
+                                      v.astype(jnp.int16), ())
+    q = 0.0 if be.lossless else float(cfg.quantization_texture)
+
+    def enc_planes(py, pu, pv) -> List[Dict[str, backends.BackendFrame]]:
+        ay, au, av = jax.device_get((py, pu, pv))
+        out = []
+        for i in range(ay.shape[0]):
+            fr = {}
+            for comp, a in (("y", ay), ("u", au), ("v", av)):
+                p = np.clip(a[i], 0, 255).astype(np.uint8)
+                fr[comp] = backends.BackendFrame(
+                    be.name, p.shape[0], p.shape[1], be.encode(p, q))
+            out.append(fr)
+        return out
+
+    low = enc_planes(stream.low_y, stream.low_u, stream.low_v)
+    mv_fields = [lev.mv for lev in stream.levels]
+    residues = (jax.device_get(motion_coding.decorrelate_jit(mv_fields))
+                if mv_fields else [])
+    levels: List[LevelSection] = []
+    for t, lev in enumerate(stream.levels):
+        high = enc_planes(lev.high_y, lev.high_u, lev.high_v)
+        motion = [codestream.encode_motion_field(
+            np.asarray(residues[t][i]).astype(np.int64))
+            for i in range(np.asarray(residues[t]).shape[0])]
+        ftypes = bytes(b"B"[0] if b else b"I"[0]
+                       for b in np.asarray(lev.is_B))
+        levels.append(LevelSection(high, motion, ftypes))
+    return VideoStream(cfg, True, 0.125, low, levels,
+                       true_dims=true_dims, true_frames=true_frames)
+
+
 def compress(video: Video, cfg: CodecConfig, reversible: bool = True,
              delta: Optional[float] = None, lossless: Optional[bool] = None
              ) -> VideoStream:
@@ -390,7 +461,12 @@ def compress(video: Video, cfg: CodecConfig, reversible: bool = True,
     streams decode bit-exactly.  Otherwise blocks are truncated at the
     per-subband slope thresholds from ``cfg.slopes()``
     (texture_compress.py:148-176 rate-allocation policy).
+
+    ``cfg.texture_backend`` other than "internal" routes the texture
+    layer through the alternative-codec registry (codec/backends.py).
     """
+    if cfg.texture_backend != "internal":
+        return _compress_with_backend(video, cfg)
     return compress_finish(compress_dispatch(video, cfg, reversible, delta,
                                              lossless))
 
@@ -441,6 +517,15 @@ def compress_chunks(chunks, gop_cfg: CodecConfig,
     ``chunks`` may be any iterable (a generator keeps memory bounded to
     ``window`` in-flight GOPs); ``progress(index, stream)`` is called as
     each GOP's stream is finished, in order."""
+    if gop_cfg.texture_backend != "internal":
+        # alternative backends are host codecs: no device pipeline
+        out = []
+        for i, chunk in enumerate(chunks):
+            vs = _compress_with_backend(chunk, gop_cfg)
+            if progress is not None:
+                progress(i, vs)
+            out.append(vs)
+        return out
     pendings: List[dict] = []
     out: List[VideoStream] = []
 

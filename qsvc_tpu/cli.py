@@ -39,6 +39,11 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--texture_coder", default="bp", choices=["bp", "mq"],
                    help="entropy coder: bp (bit-parallel, fast) or mq "
                         "(spec-style MQ, maximum compaction)")
+    p.add_argument("--texture_backend", default="internal",
+                   help="texture codec backend: internal (full "
+                        "scalability) or cp | zlib | j2k | mj2k "
+                        "(codec/backends.py registry — the reference's "
+                        "mcj2k/mcmj2k/mccp codec profiles)")
 
 
 def _read_streams(path: str):
@@ -64,7 +69,8 @@ def _cfg(args) -> CodecConfig:
         update_factor=args.update_factor, always_B=bool(args.always_B),
         quantization_texture=args.quantization_texture,
         quantization_step=args.quantization_step, nLayers=args.nLayers,
-        FPS=args.FPS, texture_coder=args.texture_coder)
+        FPS=args.FPS, texture_coder=args.texture_coder,
+        texture_backend=args.texture_backend)
 
 
 def main(argv=None) -> int:

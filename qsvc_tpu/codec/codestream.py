@@ -48,8 +48,10 @@ MAGIC = b"QSVC"
 #: arbitrary input dims/lengths round-trip (the reference instead
 #: REJECTED dims not divisible by block_size and pictures != k*GOP+1,
 #: trunk/readme.txt:102-110 — SURVEY §7 lists that as a quirk to fix by
-#: padding).  v3 streams still parse (true geometry = coded geometry).
-VERSION = 4
+#: padding); v5: per-frame codec tag (0 = internal EncodedFrame, 1 =
+#: alternative texture backend, codec/backends.py — the reference's
+#: codec-registry capability).  v3/v4 streams still parse.
+VERSION = 5
 
 _CODERS = ["mq", "bp"]
 
@@ -105,7 +107,13 @@ def _slope_u16(s: float) -> int:
 
 # ------------------------------------------------- encoded frame (de)ser
 
-def _write_frame(out: bytearray, ef: EncodedFrame) -> None:
+def _write_frame(out: bytearray, ef) -> None:
+    from . import backends
+    if isinstance(ef, backends.BackendFrame):
+        out.append(1)
+        backends.write_frame(out, ef, _wvarint)
+        return
+    out.append(0)
     out += struct.pack("<HHBBf BB", ef.H, ef.W, ef.levels,
                        1 if ef.reversible else 0, ef.delta,
                        min(ef.codeblock_size, 255),
@@ -140,7 +148,13 @@ def _band_key(code: int) -> Tuple[str, int, str]:
     return f"{band}{level}", level, band
 
 
-def _read_frame(r: _Reader) -> EncodedFrame:
+def _read_frame(r: _Reader, ver: int = VERSION):
+    if ver >= 5:
+        tag = r.data[r.pos]
+        r.pos += 1
+        if tag == 1:
+            from . import backends
+            return backends.read_frame(r)
     H, W, levels, rev, delta, cbs, coder = r.struct("<HHBBf BB")
     nblocks = r.varint()
     blocks: List[EncodedBlock] = []
@@ -353,7 +367,7 @@ class VideoStream:
         r = _Reader(data, 4)
         (ver, px, py, trls, srls, gops, bs, uf, delta, rev, sr,
          nlayers) = r.struct("<BHHBBHBffBHB")
-        if ver not in (3, VERSION):
+        if ver not in (3, 4, VERSION):
             raise ValueError(f"unsupported stream version {ver}")
         subpix, overlap, bsmin, fps = r.struct("<BBBf")
         cfg = CodecConfig(pixels_in_x=px, pixels_in_y=py, TRLs=trls,
@@ -373,7 +387,7 @@ class VideoStream:
         nlow = r.varint()
         low = []
         for _ in range(nlow):
-            low.append({comp: _read_frame(r) for comp in ("y", "u", "v")})
+            low.append({comp: _read_frame(r, ver) for comp in ("y", "u", "v")})
         nlev = r.varint()
         levels = []
         for _ in range(nlev):
@@ -381,7 +395,7 @@ class VideoStream:
             ftypes = bytes(r.bytes_(nframes))
             high = []
             for _ in range(nframes):
-                high.append({comp: _read_frame(r)
+                high.append({comp: _read_frame(r, ver)
                              for comp in ("y", "u", "v")})
             motion = [_read_motion(r) for _ in range(nframes)]
             levels.append(LevelSection(high, motion, ftypes))

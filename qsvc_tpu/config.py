@@ -82,6 +82,11 @@ class CodecConfig:
     #: texture entropy coder: "bp" (bit-parallel throughput mode, native)
     #: or "mq" (spec-style context-adaptive MQ, maximum compaction)
     texture_coder: str = "bp"
+    #: texture codec backend: "internal" (fused device DWT + EBCOT, all
+    #: scalability features) or a name from codec/backends.py
+    #: ("cp" | "zlib" | "j2k" | "mj2k") — the reference's codec-registry
+    #: capability (mcj2k/mcmj2k/mccp profiles, texture_compress.py:39)
+    texture_backend: str = "internal"
 
     # --- misc ---
     FPS: float = 30.0

@@ -141,6 +141,12 @@ def spatial_truncate(vs: VideoStream, discard_SRLs: int) -> VideoStream:
     """
     if discard_SRLs <= 0:
         return vs
+    from ..codec import backends as _bk
+    if vs.low and isinstance(vs.low[0]["y"], _bk.BackendFrame):
+        raise ValueError("SS extraction requires the internal texture "
+                         "codec (alternative backends carry no "
+                         "resolution-level structure; same limitation "
+                         "as the reference's non-J2K codecs)")
     cfg = vs.cfg
     d = min(discard_SRLs, cfg.SRLs - 1)
 

@@ -37,7 +37,7 @@ def gop_key(chunk: Video, cfg: CodecConfig, reversible: bool) -> str:
                    cfg.subpixel_accuracy, cfg.update_factor, cfg.always_B,
                    cfg.quantization_texture, cfg.quantization_step,
                    cfg.nLayers, cfg.codeblock_size, cfg.texture_coder,
-                   reversible)).encode())
+                   cfg.texture_backend, reversible)).encode())
     for plane in chunk.planes():
         h.update(np.ascontiguousarray(plane, np.uint8).tobytes())
     return h.hexdigest()
