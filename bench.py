@@ -32,12 +32,12 @@ def main() -> int:
     import jax
     # persistent compile cache: the flagship-config programs take minutes
     # to compile; cache them on disk so repeat bench runs (and production
-    # restarts) skip the warmup (gitignored; safe to delete any time)
+    # restarts) skip the warmup (gitignored; safe to delete any time;
+    # machine-keyed — see qsvc_tpu/utils/cachedir.py)
     import os
-    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                         ".jax_cache")
-    jax.config.update("jax_compilation_cache_dir", cache)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    from qsvc_tpu.utils import cachedir
+    cachedir.configure(jax, os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
     import jax.numpy as jnp
     from qsvc_tpu import api
     from qsvc_tpu.config import CodecConfig

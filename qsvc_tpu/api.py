@@ -549,8 +549,18 @@ def compress_chunks(chunks, gop_cfg: CodecConfig,
 
 def expand_gops(streams: List[VideoStream], **kw) -> Video:
     """Decode a per-GOP stream list back to one sequence (drops the
-    duplicated shared boundary frames)."""
-    vids = [expand(vs, **kw) for vs in streams]
+    duplicated shared boundary frames).
+
+    Two GOPs decode concurrently: the host entropy decode of GOP g+1
+    (native, releases the GIL) overlaps GOP g's device synthesis and
+    output download — the decode-side mirror of the encode pipeline's
+    host/device overlap."""
+    from concurrent.futures import ThreadPoolExecutor
+    if len(streams) > 1:
+        with ThreadPoolExecutor(max_workers=2) as ex:
+            vids = list(ex.map(lambda vs: expand(vs, **kw), streams))
+    else:
+        vids = [expand(vs, **kw) for vs in streams]
     y = np.concatenate([v.y[:-1] for v in vids] + [vids[-1].y[-1:]])
     u = np.concatenate([v.u[:-1] for v in vids] + [vids[-1].u[-1:]])
     v_ = np.concatenate([v.v[:-1] for v in vids] + [vids[-1].v[-1:]])

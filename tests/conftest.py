@@ -19,11 +19,16 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 
 # persistent compilation cache: the multi-device shard_map programs take
-# minutes to compile on XLA:CPU; cache them across test runs
-_cache_dir = os.path.join(os.path.dirname(__file__), ".jax_cache")
-jax.config.update("jax_compilation_cache_dir", _cache_dir)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+# minutes to compile on XLA:CPU; cache them across test runs.  The dir
+# is keyed by the host's CPU fingerprint — XLA:CPU cache entries are
+# machine code, and loading another machine's entries segfaults
+# (utils/cachedir.py has the incident note).
+import sys  # noqa: E402
+sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)))
+from qsvc_tpu.utils import cachedir  # noqa: E402
+
+cachedir.configure(jax, os.path.join(os.path.dirname(__file__),
+                                     ".jax_cache"))
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -20,9 +20,8 @@ sys.path.insert(0, ".")
 
 def main() -> int:
     import jax
-    jax.config.update("jax_compilation_cache_dir",
-                      os.path.abspath(".jax_cache"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    from qsvc_tpu.utils import cachedir
+    cachedir.configure(jax, os.path.abspath(".jax_cache"))
     from qsvc_tpu import api
     from qsvc_tpu.config import CodecConfig
     from qsvc_tpu.io import synthetic_video

@@ -66,10 +66,10 @@ def main() -> int:
         jax.config.update("jax_platforms", "cpu")
     import jax
     import os as _os
-    jax.config.update("jax_compilation_cache_dir", _os.path.join(
+    from qsvc_tpu.utils import cachedir
+    cachedir.configure(jax, _os.path.join(
         _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
         ".jax_cache"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
     from qsvc_tpu.config import CodecConfig
     from qsvc_tpu.io import synthetic_video
     from qsvc_tpu.scal import anchor

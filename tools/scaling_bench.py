@@ -35,10 +35,8 @@ def main() -> int:
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
     repo = __file__.rsplit("/", 2)[0]
-    jax.config.update("jax_compilation_cache_dir",
-                      os.path.join(repo, "tests", ".jax_cache"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    from qsvc_tpu.utils import cachedir
+    cachedir.configure(jax, os.path.join(repo, "tests", ".jax_cache"))
     from qsvc_tpu.parallel import distributed as pdist
 
     ndev = len(jax.devices())
