@@ -446,7 +446,10 @@ def _compress_with_backend(video: Video, cfg: CodecConfig) -> VideoStream:
         ftypes = bytes(b"B"[0] if b else b"I"[0]
                        for b in np.asarray(lev.is_B))
         levels.append(LevelSection(high, motion, ftypes))
-    return VideoStream(cfg, True, 0.125, low, levels,
+    # header metadata must reflect the backend: a lossy backend (mj2k)
+    # stream is not reversible, and delta is meaningless (backends do
+    # their own quantization) — 0.0 marks it unused.
+    return VideoStream(cfg, be.lossless, 0.0, low, levels,
                        true_dims=true_dims, true_frames=true_frames)
 
 

@@ -201,7 +201,6 @@ def main(argv=None) -> int:
                                 reversible=args.lossless).to_bytes()
             with open(args.output, "wb") as f:
                 f.write(data)
-            total = len(data)
         else:
             # streaming path: bounded memory (window GOPs in flight),
             # append-only output, optional checkpoint/resume store
@@ -229,20 +228,16 @@ def main(argv=None) -> int:
                     progress=report)
                 with open(args.output, "wb") as f:
                     f.write(codestream.pack_gop_streams(blobs))
-                total = 4 + sum(len(b) + 2 for b in blobs)
             else:
-                total = 0
                 with open(args.output, "wb") as f:
                     f.write(codestream.GOP_MAGIC)
 
                     def write_one(i, vs):
-                        nonlocal total
                         b = vs.to_bytes()
                         buf = bytearray()
                         codestream._wvarint(buf, len(b))
                         f.write(bytes(buf) + b)
                         f.flush()
-                        total += len(b)
                         report(i, len(b), False)
 
                     gop_cfg = cfg.replace(GOPs=1)
@@ -254,6 +249,8 @@ def main(argv=None) -> int:
                                         progress=write_one)
         dt = time.time() - t0
         raw = vid.y.size * 3 // 2
+        import os
+        total = os.path.getsize(args.output)
         print(f"{vid.frames} frames -> {total} bytes "
               f"({total*8/raw:.3f} bpp) in {dt:.2f}s "
               f"({vid.frames/dt:.2f} fps)")

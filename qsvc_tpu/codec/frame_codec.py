@@ -601,7 +601,13 @@ def decode_frames(efs: List[EncodedFrame], threshold: float = 0.0,
     Wd = sizes_x[-1] if discard_levels else W
 
     if use_sparse:
-        if ef0.coder == "bp" and fast.available():
+        if ef0.coder == "bp":
+            if not fast.available():
+                # mirror decode_packed_planes' guard: the pure-python
+                # fallback is the tier1 MQ decoder, which would silently
+                # mis-decode bp data into garbage pixels.
+                raise RuntimeError("bp coder requires the native library: "
+                                   "build qsvc_tpu/native (fast.build())")
             tiles = fast.bp_decode_tiles([(b[0], b[1], b[2], b[3])
                                           for b in todo])
         else:

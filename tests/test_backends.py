@@ -102,3 +102,16 @@ def test_backend_streaming_gops(vid4=None):
     assert len(streams) == 2
     rec = api.expand_gops(streams)
     np.testing.assert_array_equal(rec.y, vid.y)
+
+
+def test_backend_header_metadata(vid):
+    """Stream headers must reflect the backend's nature: lossless
+    backends mark reversible=True; the lossy mj2k backend must NOT
+    misreport its stream as reversible (info/expand read this field)."""
+    vs = api.compress(vid, _cfg(texture_backend="cp"))
+    assert vs.reversible
+    if "mj2k" in backends.available():
+        vs = api.compress(vid, _cfg(texture_backend="mj2k",
+                                    quantization_texture=44000))
+        assert not vs.reversible
+        assert vs.delta == 0.0

@@ -113,3 +113,32 @@ def test_sparse_selection_never_drops_surviving_blocks(rng):
                        if b.data}
                 missing = keep - got
                 assert not missing, (coder, thr_slope, missing)
+
+
+def test_bp_decode_without_native_lib_raises(rng, monkeypatch):
+    """A bp stream decoded on a machine without the native library must
+    fail loudly on BOTH decode paths (the tier1-MQ python fallback would
+    silently mis-decode bp data into garbage pixels)."""
+    import pytest
+    from qsvc_tpu.codec import fast, frame_codec
+    if not fast.available():
+        pytest.skip("native library not built (cannot produce bp data)")
+    # sparse path: few surviving blocks (min_threshold prunes the rest)
+    plane = np.full((1, 96, 128), 128, np.float32)
+    plane[0, :8, :8] = rng.integers(0, 256, (8, 8))
+    t = frame_codec.slope_to_threshold(45000.0)
+    efs = frame_codec.encode_frames(plane, 2, reversible=False,
+                                    delta=0.5, codeblock_size=32,
+                                    min_threshold=t, coder="bp")
+    monkeypatch.setattr(fast, "_lib", False)   # the canonical no-lib state
+    with pytest.raises(RuntimeError, match="native"):
+        frame_codec.decode_frames(efs)
+    # dense path: full-noise plane (every block coded)
+    monkeypatch.undo()
+    dense = rng.integers(0, 256, (1, 96, 128)).astype(np.float32)
+    efs2 = frame_codec.encode_frames(dense, 2, reversible=False,
+                                     delta=0.5, codeblock_size=32,
+                                     coder="bp")
+    monkeypatch.setattr(fast, "_lib", False)
+    with pytest.raises(RuntimeError, match="native"):
+        frame_codec.decode_frames(efs2)
