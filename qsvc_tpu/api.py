@@ -590,7 +590,8 @@ def expand(vs: VideoStream, threshold: float = 0.0,
     residue_fields = []
     for lev in use_levels:
         hy, hu, hv = _decode_plane_set(lev.high, threshold, to_host=False)
-        res = [codestream.decode_motion_field(m) for m in lev.motion]
+        with trace.stage("decode.motion"):
+            res = [codestream.decode_motion_field(m) for m in lev.motion]
         if res:
             residue_fields.append(jnp.asarray(np.stack(res)))
         lev_data.append((hy, hu, hv,
@@ -611,19 +612,22 @@ def expand(vs: VideoStream, threshold: float = 0.0,
 
     mstream = transform.MCTFStream(jnp.asarray(ly), jnp.asarray(lu),
                                    jnp.asarray(lv), tuple(levels))
-    if len(levels) == 0:
-        ry, ru, rv = mstream.low_y, mstream.low_u, mstream.low_v
-    else:
-        ry, ru, rv = _synthesize_partial(mstream, cfg, discard_TRLs)
-    # uint8 cast on device: the download is 1 byte/pixel instead of the
-    # transform's wider dtype (measured 213 MB -> 53 MB per 1080p GOP)
-    ry, ru, rv = (ry.astype(jnp.uint8), ru.astype(jnp.uint8),
-                  rv.astype(jnp.uint8))
+    with trace.stage("decode.synthesize_dispatch"):
+        if len(levels) == 0:
+            ry, ru, rv = mstream.low_y, mstream.low_u, mstream.low_v
+        else:
+            ry, ru, rv = _synthesize_partial(mstream, cfg, discard_TRLs)
+        # uint8 cast on device: the download is 1 byte/pixel instead of
+        # the transform's wider dtype (measured 213 -> 53 MB per GOP)
+        ry, ru, rv = (ry.astype(jnp.uint8), ru.astype(jnp.uint8),
+                      rv.astype(jnp.uint8))
     if not to_host:
-        jax.block_until_ready((ry, ru, rv))
+        with trace.stage("decode.wait_device"):
+            jax.block_until_ready((ry, ru, rv))
         vid = Video(ry, ru, rv)
     else:
-        vid = Video(np.asarray(ry), np.asarray(ru), np.asarray(rv))
+        with trace.stage("decode.output_download"):
+            vid = Video(np.asarray(ry), np.asarray(ru), np.asarray(rv))
     if vs.true_dims is not None or vs.true_frames is not None:
         tw, th = vs.true_dims or (vid.width, vid.height)
         tf = vs.true_frames if vs.true_frames is not None else vid.frames
