@@ -88,6 +88,7 @@ def main() -> int:
     # point is gameable, and a codec whose decoder is untimed is
     # half-benchmarked)
     from qsvc_tpu.io.yuv import video_psnr
+    dec_prewarm_s = api.prewarm_decode(cfg, reversible=False)
     rec = api.expand_gops(streams)              # decode warmup/compile
     t0 = time.time()
     rec = api.expand_gops(streams)
@@ -118,6 +119,7 @@ def main() -> int:
             "psnr_v": round(psnr_v, 3),
             "decode_fps": round(vid.frames / dec_staged_dt, 3),
             "decode_e2e_tunnel_fps": round(vid.frames / dec_dt, 3),
+            "decode_prewarm_seconds": round(dec_prewarm_s, 2),
             "device": str(jax.devices()[0]),
         },
     }))

@@ -394,6 +394,75 @@ def prewarm(cfg: CodecConfig, reversible: bool = False,
     return time.time() - t0
 
 
+def prewarm_decode(cfg: CodecConfig, reversible: bool = False,
+                   delta: Optional[float] = None,
+                   lossless: Optional[bool] = None) -> float:
+    """Compile the per-GOP DECODE programs concurrently before first use
+    (the decode mirror of :func:`prewarm`): the sparse tile scatter +
+    fused dequant+IDWT for every plane-set geometry, the inverse MV
+    correlation, and the jitted inverse MCTF.  Zero inputs of the
+    production shapes; returns seconds spent."""
+    import time
+    from concurrent.futures import ThreadPoolExecutor
+
+    t0 = time.time()
+    gop_cfg = cfg.replace(GOPs=1)
+    gop_cfg.validate()
+    delta, lossless, coder = _operating_point(gop_cfg, reversible, delta,
+                                              lossless)
+    H, W = gop_cfg.pixels_in_y, gop_cfg.pixels_in_x
+    sched = gop_cfg.level_schedule()
+    srl = gop_cfg.SRLs - 1
+    cb = gop_cfg.codeblock_size
+    d = jnp.float32(delta)
+    # plane-set stack shapes of one GOP's decode: the low band (2
+    # frames) plus one high stack per level, luma + half-res chroma
+    counts = [2] + [lp.pictures // 2 for lp in sched]
+    shapes = ([(n, H, W) for n in counts] +
+              [(n, H // 2, W // 2) for n in counts])
+    K = frame_codec._bucket(1)
+
+    def warm_set(shape):
+        n, h, w = shape
+        tiles = jnp.zeros((K, cb, cb), jnp.int16)
+        pos = jnp.full((K, 3), jnp.asarray((0, h, w), jnp.int32))
+        packed = frame_codec._scatter_tiles(tiles, pos, n, h, w)
+        jax.block_until_ready(
+            frame_codec._dequant_idwt(packed, srl, reversible, d))
+
+    def warm_synth():
+        if gop_cfg.TRLs <= 1:
+            return
+        zs = lambda *s: jnp.zeros(s, jnp.int32)
+        levels = tuple(
+            transform.LevelData(
+                zs(lp.pictures // 2, H, W),
+                zs(lp.pictures // 2, H // 2, W // 2),
+                zs(lp.pictures // 2, H // 2, W // 2),
+                zs(lp.pictures // 2, 2, 2, H // lp.block_size,
+                   W // lp.block_size),
+                jnp.ones(lp.pictures // 2, bool))
+            for lp in sched)
+        m = transform.MCTFStream(zs(2, H, W), zs(2, H // 2, W // 2),
+                                 zs(2, H // 2, W // 2), levels)
+        jax.block_until_ready(_synthesize_partial(m, gop_cfg, 0))
+
+    def warm_mv():
+        if gop_cfg.TRLs > 1:
+            res = [jnp.zeros((lp.pictures // 2, 2, 2, H // lp.block_size,
+                              W // lp.block_size), jnp.int32)
+                   for lp in sched]
+            jax.block_until_ready(motion_coding.correlate_jit(res))
+
+    with trace.stage("prewarm_decode"):
+        with ThreadPoolExecutor(max_workers=4) as ex:
+            futs = ([ex.submit(warm_synth), ex.submit(warm_mv)] +
+                    [ex.submit(warm_set, s) for s in shapes])
+            for f in futs:
+                f.result()
+    return time.time() - t0
+
+
 def _compress_with_backend(video: Video, cfg: CodecConfig) -> VideoStream:
     """Encode with an alternative texture backend (codec/backends.py) —
     the reference's codec-registry capability (mcj2k/mcmj2k/mccp

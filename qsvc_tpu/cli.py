@@ -257,11 +257,18 @@ def main(argv=None) -> int:
         return 0
 
     if args.cmd == "expand":
-        from .api import expand, expand_gops
+        from .api import expand, expand_gops, prewarm_decode
         from .codec.frame_codec import slope_to_threshold
         streams = _read_streams(args.input)
         thr = slope_to_threshold(args.quantization) if args.quantization else 0.0
         t0 = time.time()
+        if (len(streams) > 1 and not args.discard_TRLs
+                and streams[0].cfg.texture_backend == "internal"):
+            # concurrent compile of the decode programs (cold-start
+            # mirror of the compress path's prewarm)
+            prewarm_decode(streams[0].cfg,
+                           reversible=streams[0].reversible,
+                           delta=streams[0].delta or None)
         if len(streams) > 1:
             vid = expand_gops(streams, threshold=thr,
                               discard_TRLs=args.discard_TRLs)

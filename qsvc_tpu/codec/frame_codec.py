@@ -630,6 +630,10 @@ def decode_frames(efs: List[EncodedFrame], threshold: float = 0.0,
             vmax = max((int(np.abs(t).max()) for t in tiles if t.size),
                        default=0)
             dt = np.int16 if vmax < 32768 else np.int32
+            # fixed tile extent: sizing by the max CODED tile (data-
+            # dependent) compiled a fresh scatter program per content;
+            # the codeblock size keeps one program per plane geometry
+            cb = ef0.codeblock_size
             tile_arr = np.zeros((K, cb, cb), dt)
             pos = np.full((K, 3), (0, Hd, Wd), np.int32)  # dummies: OOB
             for i, ((n, y0, x0), b, t) in enumerate(zip(positions, todo,

@@ -102,3 +102,20 @@ def test_temporal_extraction():
     quarter = expand(vs, discard_TRLs=2)
     assert quarter.frames == cfg.pictures // 4 + 1
     np.testing.assert_array_equal(quarter.y, vid.y[0::4])
+
+
+def test_prewarm_covers_production_programs():
+    """prewarm / prewarm_decode compile the encode/decode programs from
+    zero-filled inputs of the production shapes; the real pipeline after
+    them must produce identical results to a cold pipeline (same
+    programs, just compiled early)."""
+    from qsvc_tpu import api
+    cfg = CodecConfig(pixels_in_x=96, pixels_in_y=80, TRLs=3, GOPs=1,
+                      block_size=16, search_range=2, update_factor=0.25,
+                      quantization_texture=45000, SRLs=3)
+    api.prewarm(cfg, reversible=False)
+    api.prewarm_decode(cfg, reversible=False)
+    vid = synthetic_video(cfg.pictures, 80, 96, seed=11)
+    vs = compress(vid, cfg, reversible=False)
+    rec = expand(vs)
+    assert video_psnr(vid, rec)[0] > 25
