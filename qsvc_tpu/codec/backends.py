@@ -16,7 +16,13 @@ codec ("internal", the fused DWT+EBCOT path of frame_codec):
   :mod:`.j2k` (the reference's MJ2K mode, Motion-JPEG2000 as
   independent per-frame code-streams);
 * ``mj2k``  — per-frame LOSSY 9/7 standard JPEG 2000 (quality mapped
-  from the reference's slope units).
+  from the reference's slope units);
+* ``mjpeg`` — per-frame baseline JPEG (the reference's ``mcmjpeg``
+  profile, which shells out to ffmpeg for per-frame JPEGs);
+* ``ltw``   — standalone per-frame wavelet intra coder with
+  self-contained streams (the role of the external LTW binary in the
+  reference's ``mcltw`` profile), here the in-framework 9/7+EBCOT
+  coder serialized frame by frame.
 
 Encoding is always self-contained (our own encoders).  The two J2K
 backends DECODE through OpenJPEG (Pillow) — mirroring the reference's
@@ -160,6 +166,78 @@ def _mj2k_encode(plane: np.ndarray, quality: float) -> bytes:
 if _pil_available():
     register(Backend("j2k", _j2k_encode, _j2k_decode, lossless=True))
     register(Backend("mj2k", _mj2k_encode, _j2k_decode, lossless=False))
+
+
+# -------------------------------------------------------------- mjpeg
+
+def _jpeg_available() -> bool:
+    try:
+        from PIL import features
+        return bool(features.check("jpg"))
+    except Exception:
+        return False
+
+
+def _mjpeg_encode(plane: np.ndarray, quality: float) -> bytes:
+    """Per-frame baseline JPEG — the reference's ``mcmjpeg`` profile
+    codes each subband frame as an independent JPEG through ffmpeg
+    (texture_compress_*_mjpeg.py); slope units map linearly onto the
+    JPEG quality scale over the useful 42000..46000 range."""
+    from PIL import Image
+    if quality and quality > 0:
+        q = int(np.clip(95 - (float(quality) - 42000.0) / 4000.0 * 85.0,
+                        5, 95))
+    else:
+        q = 90
+    buf = io.BytesIO()
+    Image.fromarray(np.ascontiguousarray(plane, np.uint8), "L").save(
+        buf, "JPEG", quality=q)
+    return buf.getvalue()
+
+
+def _mjpeg_decode(data: bytes, H: int, W: int) -> np.ndarray:
+    from PIL import Image
+    arr = np.array(Image.open(io.BytesIO(data)).convert("L"))
+    assert arr.shape == (H, W), (arr.shape, H, W)
+    return arr.astype(np.uint8)
+
+
+if _jpeg_available():
+    register(Backend("mjpeg", _mjpeg_encode, _mjpeg_decode,
+                     lossless=False))
+
+
+# ---------------------------------------------------------------- ltw
+
+def _ltw_encode(plane: np.ndarray, quality: float) -> bytes:
+    """Standalone per-frame wavelet coder — the role the external LTW
+    binary plays in the reference's ``mcltw`` profile (an alternative
+    intra wavelet codec with its own self-contained per-frame streams,
+    texture_compress_*_ltw.py).  Here: the in-framework 9/7 DWT + EBCOT
+    intra coder, one serialized EncodedFrame per plane (no shared
+    container metadata, so the stream is decodable frame by frame)."""
+    from . import codestream, frame_codec
+    t = (frame_codec.slope_to_threshold(float(quality))
+         if quality and quality > 0 else 0.0)
+    ef = frame_codec.encode_frame(np.asarray(plane, np.int32), levels=3,
+                                  reversible=False, delta=0.125,
+                                  codeblock_size=64)
+    if t > 0:
+        ef = ef.truncate(t)
+    out = bytearray()
+    codestream._write_frame(out, ef)
+    return bytes(out)
+
+
+def _ltw_decode(data: bytes, H: int, W: int) -> np.ndarray:
+    from . import codestream, frame_codec
+    ef = codestream._read_frame(codestream._Reader(data))
+    rec = np.asarray(frame_codec.decode_frame(ef))
+    assert rec.shape == (H, W), (rec.shape, H, W)
+    return np.clip(rec, 0, 255).astype(np.uint8)
+
+
+register(Backend("ltw", _ltw_encode, _ltw_decode, lossless=False))
 
 
 # ------------------------------------------------- (de)serialization

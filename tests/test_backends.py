@@ -115,3 +115,27 @@ def test_backend_header_metadata(vid):
                                     quantization_texture=44000))
         assert not vs.reversible
         assert vs.delta == 0.0
+
+
+@pytest.mark.skipif("mjpeg" not in backends.available(),
+                    reason="Pillow built without JPEG")
+def test_mjpeg_backend_lossy_quality(vid):
+    cfg = _cfg(texture_backend="mjpeg", quantization_texture=43000)
+    vs = api.compress(vid, cfg)
+    data = vs.to_bytes()
+    rec = api.expand(VideoStream.from_bytes(data))
+    assert not vs.reversible
+    assert len(data) < vid.y.size * 3 // 2
+    assert video_psnr(vid, rec)[0] > 28
+    # every texture payload is a standard JFIF stream
+    assert vs.low[0]["y"].payload[:2] == b"\xff\xd8"
+
+
+def test_ltw_backend_roundtrip_and_rate(vid):
+    lo = api.compress(vid, _cfg(texture_backend="ltw",
+                                quantization_texture=44000)).to_bytes()
+    hi = api.compress(vid, _cfg(texture_backend="ltw",
+                                quantization_texture=45500)).to_bytes()
+    assert len(hi) < len(lo)            # higher slope -> fewer bytes
+    rec = api.expand(VideoStream.from_bytes(lo))
+    assert video_psnr(vid, rec)[0] > 30
