@@ -17,11 +17,9 @@ import jax as _jax
 # repeat-process warmup to ~1s.  Only set a default when the embedding
 # application hasn't chosen its own cache dir (tests pin their own).
 if _jax.config.jax_compilation_cache_dir is None:
-    _jax.config.update(
-        "jax_compilation_cache_dir",
-        _os.path.expanduser(_os.environ.get(
-            "QSVC_COMPILE_CACHE", "~/.cache/qsvc_tpu_jax")))
+    from .utils import cachedir as _cachedir
+    _cachedir.configure(_jax, _os.path.expanduser(_os.environ.get(
+        "QSVC_COMPILE_CACHE", "~/.cache/qsvc_tpu_jax")))
     _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    _jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 from .config import CodecConfig, gop_size  # noqa: F401

@@ -75,9 +75,13 @@ def make_gop_mesh(n_devices: Optional[int] = None) -> Mesh:
 
 
 def shard_video_gops(video: Video, cfg: CodecConfig, mesh: Mesh):
-    """(G*S+1)-frame planes -> (G, S+1, ...) device arrays sharded on the
-    gop axis (boundary frames duplicated per the open-GOP rule)."""
-    S = cfg.gop_size
+    """(G*S+1)-frame planes -> (D, k*S+1, ...) device arrays sharded on
+    the gop axis (boundary frames duplicated per the open-GOP rule;
+    k = G / D GOPs per device when the sequence outnumbers devices)."""
+    D = mesh.devices.size
+    G = cfg.GOPs
+    assert G % D == 0, (G, D)
+    S = cfg.gop_size * (G // D)
     out = []
     for plane in video.planes():
         g = pmesh.shard_gops(np.asarray(plane), S)
@@ -97,15 +101,18 @@ def encode_gops_distributed(video: Video, cfg: CodecConfig,
 
     mesh = mesh or make_gop_mesh()
     G = cfg.GOPs
-    assert G == mesh.devices.size, (G, mesh.devices.size)
+    D = mesh.devices.size
+    assert G % D == 0, (G, D)
+    k = G // D                          # GOPs per device
     gop_cfg = cfg.replace(GOPs=1)
     S = cfg.gop_size
 
     # GOP -> owning process, per the mesh's device order: each host
     # transforms and entropy-codes only its own GOPs (closed-GOP mode;
     # the halo-exact open-GOP transform lives in analyze_sharded)
-    local_gops = [i for i, d in enumerate(mesh.devices.ravel())
-                  if d.process_index == jax.process_index()]
+    local_gops = [i for i in range(G)
+                  if mesh.devices.ravel()[i // k].process_index
+                  == jax.process_index()]
 
     payloads: List[Tuple[int, bytes]] = []
     for g in local_gops:
@@ -188,8 +195,11 @@ def compress_distributed(video: Video, cfg: CodecConfig,
     video, cfg, true_dims, true_frames = api._pad_to_grid(video, cfg)
     cfg.validate()
     G = cfg.GOPs
+    D = mesh.devices.size
     assert cfg.TRLs > 1, "distributed encode needs a temporal transform"
-    assert G == mesh.devices.size, (G, mesh.devices.size)
+    assert G % D == 0, (G, D)
+    k = G // D                          # GOPs per device chunk
+    ccfg = cfg.replace(GOPs=k)          # one chunk's stream layout
     delta, lossless, coder = api._operating_point(cfg, reversible, delta,
                                                   lossless)
 
@@ -205,30 +215,31 @@ def compress_distributed(video: Video, cfg: CodecConfig,
             for lev in st.levels]
 
     pendings = {}
-    for g in sorted(low_y):
-        # drop the duplicated right-boundary low frame everywhere but the
-        # last GOP (the sequential low band has G*(S/2^{T-1}) + 1 frames)
-        trim = slice(None) if g == G - 1 else slice(None, -1)
-        levels = tuple(LevelData(hy[g], hu[g], hv[g], mv[g], isb[g])
+    for c in sorted(low_y):
+        # drop the duplicated right-boundary low frame everywhere but
+        # the last chunk (the sequential low band has
+        # G*(S/2^{T-1}) + 1 frames)
+        trim = slice(None) if c == D - 1 else slice(None, -1)
+        levels = tuple(LevelData(hy[c], hu[c], hv[c], mv[c], isb[c])
                        for (hy, hu, hv, mv, isb) in levs)
-        sub = MCTFStream(low_y[g][trim], low_u[g][trim], low_v[g][trim],
+        sub = MCTFStream(low_y[c][trim], low_u[c][trim], low_v[c][trim],
                          levels)
-        pendings[g] = api._dispatch_stream(sub, cfg, reversible, delta,
+        pendings[c] = api._dispatch_stream(sub, ccfg, reversible, delta,
                                            lossless, coder)
-    frags = {g: api.compress_finish(p) for g, p in sorted(pendings.items())}
+    frags = {c: api.compress_finish(p) for c, p in sorted(pendings.items())}
 
     if jax.process_count() > 1:
         blobs = _allgather_indexed_bytes(
-            [(g, f.to_bytes()) for g, f in frags.items()], G)
-        frags = {g: VideoStream.from_bytes(b) for g, b in enumerate(blobs)}
+            [(c, f.to_bytes()) for c, f in frags.items()], D)
+        frags = {c: VideoStream.from_bytes(b) for c, b in enumerate(blobs)}
 
-    low = [fr for g in range(G) for fr in frags[g].low]
+    low = [fr for c in range(D) for fr in frags[c].low]
     levels_out: List[LevelSection] = []
     for t in range(cfg.TRLs - 1):
-        high = [fr for g in range(G) for fr in frags[g].levels[t].high]
-        motion = [m for g in range(G) for m in frags[g].levels[t].motion]
-        ftypes = b"".join(bytes(frags[g].levels[t].frame_types)
-                          for g in range(G))
+        high = [fr for c in range(D) for fr in frags[c].levels[t].high]
+        motion = [m for c in range(D) for m in frags[c].levels[t].motion]
+        ftypes = b"".join(bytes(frags[c].levels[t].frame_types)
+                          for c in range(D))
         levels_out.append(LevelSection(high, motion, ftypes))
     return VideoStream(cfg, reversible, delta, low, levels_out,
                        true_dims=true_dims, true_frames=true_frames)

@@ -197,12 +197,17 @@ def analyze_sharded(y, u, v, cfg: CodecConfig, mesh: Mesh,
                     axis: str = "gop"):
     """Distributed forward MCTF.
 
-    ``y``: (G, S+1, H, W) with G == mesh axis size, sharded on the leading
-    axis; chroma likewise.  Returns a per-GOP MCTFStream pytree with the
-    leading GOP axis sharded.
+    ``y``: (D, k*S+1, H, W) sharded on the leading chunk axis with
+    D == mesh axis size and k GOPs per device (k=1: one GOP per
+    device); chroma likewise.  A chunk is simply a shorter open-GOP
+    sequence — the level loop reads block_size/search_range from the
+    schedule and frame counts from the array shapes, and the ppermute
+    halos couple chunk edges exactly as they couple single GOPs —
+    so any multiplicity shards with the same program.  Returns a
+    per-chunk MCTFStream pytree with the leading axis sharded.
     """
     def fn(y_, u_, v_):
-        # local shapes (1, S+1, ...) -> per-GOP compute
+        # local shapes (1, k*S+1, ...) -> per-chunk compute
         st = _analyze_local(y_[0], u_[0], v_[0], cfg, axis)
         return jax.tree.map(lambda a: a[None], st)
 
@@ -213,7 +218,10 @@ def analyze_sharded(y, u, v, cfg: CodecConfig, mesh: Mesh,
 
 def synthesize_sharded(stream, cfg: CodecConfig, mesh: Mesh,
                        axis: str = "gop"):
-    """Distributed inverse MCTF on a per-GOP stream pytree."""
+    """Distributed inverse MCTF on a per-chunk stream pytree.  (The
+    level loop only reads block_size/search_range from the schedule —
+    picture counts come from the array shapes — so the global cfg
+    serves chunks of any GOP multiplicity.)"""
     def fn(st):
         local = jax.tree.map(lambda a: a[0], st)
         out = _synthesize_local(local, cfg, axis)

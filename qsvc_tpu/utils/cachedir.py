@@ -19,10 +19,22 @@ import platform
 def machine_cache_dir(base: str) -> str:
     key = platform.machine()
     try:
+        # hash ISA flags AND the model identity: XLA:CPU bakes
+        # model-derived tuning pseudo-features (e.g. +prefer-no-gather)
+        # into AOT entries, so two hosts with identical flag sets but
+        # different model/stepping still produce incompatible entries
+        # (observed: foreign-entry load warning under a flags-only key)
+        ident = []
         with open("/proc/cpuinfo") as f:
-            flags = [l for l in f if l.startswith(("flags", "Features"))]
-        if flags:
-            key += "-" + hashlib.sha1(flags[0].encode()).hexdigest()[:10]
+            for line in f:
+                if line.startswith(("flags", "Features", "vendor_id",
+                                    "cpu family", "model", "stepping")):
+                    ident.append(line.strip())
+                if line.strip() == "" and ident:
+                    break               # first processor block only
+        if ident:
+            key += "-" + hashlib.sha1(
+                "\n".join(ident).encode()).hexdigest()[:12]
     except OSError:
         pass
     path = os.path.join(base, key)

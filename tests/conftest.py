@@ -27,11 +27,32 @@ import sys  # noqa: E402
 sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)))
 from qsvc_tpu.utils import cachedir  # noqa: E402
 
-cachedir.configure(jax, os.path.join(os.path.dirname(__file__),
-                                     ".jax_cache"))
+if os.environ.get("QSVC_TEST_NO_COMPILE_CACHE"):
+    # escape hatch: fully disable the persistent cache (overrides the
+    # package-level default dir, which would otherwise kick in)
+    jax.config.update("jax_compilation_cache_dir", None)
+else:
+    cachedir.configure(jax, os.path.join(os.path.dirname(__file__),
+                                         ".jax_cache"))
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _bounded_live_executables():
+    """Drop jit caches after every test module.
+
+    Root-caused incident (round 5): every XLA:CPU executable holds
+    several mmap regions forever (pjit caches pin them); across the
+    full suite the process crossed ``vm.max_map_count`` (measured
+    63,885 maps of the 65,530 default just before a deterministic
+    SIGSEGV inside XLA compile/serialize at test #288 — mmap failure
+    surfaces as a segfault, not an error).  Clearing per module keeps
+    the live-executable population bounded; the persistent compile
+    cache makes the cross-module recompiles cheap loads."""
+    yield
+    jax.clear_caches()
 
 
 @pytest.fixture

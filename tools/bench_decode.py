@@ -34,6 +34,7 @@ def main() -> int:
     streams = api.compress_gops(vid, cfg, reversible=False)
 
     t0 = time.time()
+    api.prewarm_decode(cfg, reversible=False)
     rec = api.expand_gops(streams)
     warm = time.time() - t0
     t0 = time.time()
