@@ -552,10 +552,14 @@ def _scatter_tiles(tiles: jnp.ndarray, pos: jnp.ndarray,
     return packed.at[iN, iY, iX].add(tiles, mode="drop")
 
 
-def _bucket(k: int) -> int:
-    """Round K up so the scatter program compiles for few distinct
-    shapes (powers of two above a floor)."""
-    n = 256
+def _bucket(k: int, floor: int = 32) -> int:
+    """Round K up so the dependent program compiles for a small ladder
+    of shapes (powers of two above a floor).  The floor keeps the
+    ladder short; the power-of-two steps keep padded transfer overhead
+    < 2x (a fixed large bucket measured 55 -> 39 fps staged encode on
+    the tunnel: padding rows are real bytes on the host<->device
+    link)."""
+    n = floor
     while n < k:
         n <<= 1
     return n
@@ -630,10 +634,13 @@ def decode_frames(efs: List[EncodedFrame], threshold: float = 0.0,
             vmax = max((int(np.abs(t).max()) for t in tiles if t.size),
                        default=0)
             dt = np.int16 if vmax < 32768 else np.int32
-            # fixed tile extent: sizing by the max CODED tile (data-
-            # dependent) compiled a fresh scatter program per content;
-            # the codeblock size keeps one program per plane geometry
-            cb = ef0.codeblock_size
+            # bucketed tile extent: sizing by the exact max CODED tile
+            # (data-dependent) compiled a fresh scatter program per
+            # content (observed (256,1,1), (256,60,60), an 8 s compile
+            # mid-measurement); a power-of-two ladder capped at the
+            # codeblock size bounds the program set while keeping the
+            # upload proportional to the coded area
+            cb = min(_bucket(cb, 8), ef0.codeblock_size)
             tile_arr = np.zeros((K, cb, cb), dt)
             pos = np.full((K, 3), (0, Hd, Wd), np.int32)  # dummies: OOB
             for i, ((n, y0, x0), b, t) in enumerate(zip(positions, todo,
