@@ -206,6 +206,11 @@ def analyze_sharded(y, u, v, cfg: CodecConfig, mesh: Mesh,
     so any multiplicity shards with the same program.  Returns a
     per-chunk MCTFStream pytree with the leading axis sharded.
     """
+    assert y.shape[0] == mesh.shape[axis], (
+        f"one chunk per device: got {y.shape[0]} chunks on a "
+        f"{mesh.shape[axis]}-device mesh (fold extra GOPs INTO chunks: "
+        f"shard_gops with gop_size*k)")
+
     def fn(y_, u_, v_):
         # local shapes (1, k*S+1, ...) -> per-chunk compute
         st = _analyze_local(y_[0], u_[0], v_[0], cfg, axis)
@@ -222,6 +227,9 @@ def synthesize_sharded(stream, cfg: CodecConfig, mesh: Mesh,
     level loop only reads block_size/search_range from the schedule —
     picture counts come from the array shapes — so the global cfg
     serves chunks of any GOP multiplicity.)"""
+    assert stream.low_y.shape[0] == mesh.shape[axis], (
+        stream.low_y.shape, dict(mesh.shape))
+
     def fn(st):
         local = jax.tree.map(lambda a: a[0], st)
         out = _synthesize_local(local, cfg, axis)
@@ -240,6 +248,7 @@ def encode_step_sharded(y, u, v, cfg: CodecConfig, mesh: Mesh,
     from ..ops import dwt2d
 
     srl = cfg.SRLs - 1
+    assert y.shape[0] == mesh.shape[axis], (y.shape, dict(mesh.shape))
 
     def fn(y_, u_, v_):
         st = _analyze_local(y_[0], u_[0], v_[0], cfg, axis)

@@ -50,7 +50,7 @@ def main() -> int:
         api.expand(s, to_host=False)
     sdt = time.time() - t0
     sfps = vid.frames / sdt
-    print(json.dumps({
+    row = {
         "metric": "1080p_gop16_decode_fps_per_chip",
         "value": round(sfps, 3),
         "unit": "fps",
@@ -59,7 +59,11 @@ def main() -> int:
                    "e2e_seconds": round(dt, 2),
                    "warmup_seconds": round(warm, 2),
                    "device": str(jax.devices()[0])},
-    }))
+    }
+    print(json.dumps(row))
+    if len(sys.argv) > 1:               # optional artifact path
+        with open(sys.argv[1], "w") as f:
+            json.dump(row, f, indent=1)
     return 0
 
 

@@ -47,7 +47,9 @@ def run_point(n: int, reps: int) -> dict:
     from qsvc_tpu.parallel import mesh as pmesh, transform as ptransform
 
     c = CodecConfig(pixels_in_x=512, pixels_in_y=512, TRLs=3,
-                    block_size=32, search_range=4, update_factor=0.25,
+                    block_size=32, search_range=4,
+                    update_factor=float(os.environ.get(
+                        "QSVC_SCALE_UF", "0.25")),
                     SRLs=4, GOPs=n)
     vid = synthetic_video(c.pictures, c.pixels_in_y, c.pixels_in_x,
                           seed=0)
@@ -68,8 +70,8 @@ def run_point(n: int, reps: int) -> dict:
     return {"n": n, "fps": vid.frames / dt, "dt": dt}
 
 
-def spawn_point(n: int, reps: int, cpu: bool) -> dict:
-    """Run one point in a pinned subprocess (CPU methodology)."""
+def _spawn(n: int, reps: int, cpu: bool, cores: str):
+    """Launch one measurement subprocess pinned to ``cores``."""
     env = dict(os.environ)
     flags = env.get("XLA_FLAGS", "")
     if "force_host_platform_device_count" not in flags:
@@ -80,14 +82,35 @@ def spawn_point(n: int, reps: int, cpu: bool) -> dict:
         env["JAX_PLATFORMS"] = "cpu"
     cmd = [sys.executable, os.path.abspath(__file__),
            "--point", str(n), "--reps", str(reps)]
-    cores = os.cpu_count() or 1
-    if shutil.which("taskset") and n <= cores:
-        cmd = ["taskset", "-c", ",".join(str(i) for i in range(n))] + cmd
-    out = subprocess.run(cmd, capture_output=True, text=True, env=env,
-                         cwd=REPO)
-    if out.returncode != 0:
-        raise RuntimeError(f"point n={n} failed:\n{out.stderr[-2000:]}")
-    return json.loads(out.stdout.strip().splitlines()[-1])
+    if shutil.which("taskset") and cores:
+        cmd = ["taskset", "-c", cores] + cmd
+    return subprocess.Popen(cmd, stdout=subprocess.PIPE,
+                            stderr=subprocess.PIPE, text=True, env=env,
+                            cwd=REPO)
+
+
+def _result(proc, what: str) -> dict:
+    out, err = proc.communicate()
+    if proc.returncode != 0:
+        raise RuntimeError(f"{what} failed:\n{err[-2000:]}")
+    return json.loads(out.strip().splitlines()[-1])
+
+
+def spawn_point(n: int, reps: int, cpu: bool) -> dict:
+    """Run one sharded point in a pinned subprocess (CPU methodology)."""
+    cores = ",".join(str(i) for i in range(n))
+    return _result(_spawn(n, reps, cpu, cores), f"point n={n}")
+
+
+def spawn_independent_baseline(n: int, reps: int, cpu: bool) -> float:
+    """Aggregate fps of ``n`` CONCURRENT single-device encodes, one per
+    core: the same host resource sharing (memory bandwidth, LLC) as the
+    n-device sharded point but ZERO distribution machinery — the honest
+    denominator on a CPU proxy, where cores share bandwidth that pod
+    chips do not.  efficiency = fps_sharded(n) / this."""
+    procs = [_spawn(1, reps, cpu, str(i)) for i in range(n)]
+    results = [_result(p, f"indep lane {i}") for i, p in enumerate(procs)]
+    return sum(r["fps"] for r in results)
 
 
 def main() -> int:
@@ -138,6 +161,15 @@ def main() -> int:
                        else jax.default_backend(),
                        "valid": (not backend_is_cpu) or n <= cores},
         }
+        if backend_is_cpu and n <= cores:
+            # separate the codec's distribution overhead from the CPU
+            # proxy's shared memory bandwidth: n concurrent INDEPENDENT
+            # single-device encodes see the same host contention with
+            # zero distribution machinery
+            indep = spawn_independent_baseline(n, args.reps, cpu=True)
+            row["detail"]["fps_independent_aggregate"] = round(indep, 4)
+            row["detail"]["efficiency_vs_independent"] = round(
+                p["fps"] / indep, 4)
         print(json.dumps(row), flush=True)
         results.append(row)
 
